@@ -1,0 +1,258 @@
+"""Hierarchical block-matching optical flow on TPU (JAX/XLA).
+
+TPU-native re-design of the reference's four flow kernels
+(calcDeltaSumsKernel.cl, determineLowestLayerKernel.cl,
+adjustOffsetArrayKernel.cl, blurFlowKernel.cl) and their host loop
+(opticalFlowCalc.c:126-203):
+
+* The reference launches a 3-D work grid per candidate layer and reduces SAD
+  windows with local-memory trees + global atomics.  TPUs have no atomics and
+  want static shapes, so each (iteration, step) becomes one dense computation
+  over a (search_radius, lowH, lowW) tensor followed by a reshape-based
+  window reduction -- the pyramid's window size is a compile-time constant
+  per unrolled iteration (there are only log2(next_pow2(maxdim)/2) of them).
+* Frame sampling at candidate offsets is a flat gather from the full-res
+  planes; the probe positions for frame2 are a static strided slice.
+* All delta/bias sums accumulate in uint32 with natural mod-2**32 wraparound,
+  matching the reference's unsigned atomic adds (calcDeltaSumsKernel.cl:187).
+* The 8x8 box blur of the final field (blurFlowKernel.cl) is a separable
+  16-add shift sum with symmetric edge padding and C-style truncating
+  division.
+
+Frames are planar on device: y (H, stride), u and v (H//2, stride//2) --
+NV12's interleaved chroma is split at upload so chroma gathers share one
+index computation (u/v always use identical sample coordinates,
+calcDeltaSumsKernel.cl:97-98).
+
+The flow functions are specialized (jit-cached) per search radius; the
+auto-quality controller changes radius between frames, and each of the 12
+possible radii compiles once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpv_frame_interpolator_tpu.ops import oracle
+
+FIRST_NEIGHBOR_ITERATION = oracle.FIRST_NEIGHBOR_ITERATION
+BLUR_RADIUS = oracle.BLUR_KERNEL_RADIUS
+
+
+@dataclasses.dataclass(frozen=True)
+class FlowGeometry:
+    """Static geometry of one flow problem (one jit specialization).
+
+    Mirrors the derived fields of struct OpticalFlowCalc
+    (opticalFlowCalc.c:323-357): res scalar chosen so height>>rs <= 270,
+    low dims are ceil(stride/2**rs) x ceil(height/2**rs)."""
+
+    height: int
+    stride: int
+    actual_width: int
+    res_scalar: int
+    low_h: int
+    low_w: int
+    start_window: int
+    iterations: int
+
+    @classmethod
+    def create(cls, height: int, stride: int, actual_width: int,
+               max_calc_res: int = oracle.MAX_CALC_RES,
+               num_iter_cfg: int = 0) -> "FlowGeometry":
+        rs = oracle.res_scalar_for(height, max_calc_res)
+        lh, lw = oracle.low_dims_for(height, stride, rs)
+        window = oracle.start_window_size(lh, lw)
+        iters = oracle.num_iterations(window, num_iter_cfg)
+        return cls(height, stride, actual_width, rs, lh, lw, window, iters)
+
+    def window_schedule(self) -> Tuple[int, ...]:
+        """Static (windowSize per iteration) list, opticalFlowCalc.c:156-188."""
+        out, w = [], self.start_window
+        for _ in range(self.iterations):
+            out.append(w)
+            w = max(w >> 1, 1)
+        return tuple(out)
+
+
+def _gather(plane, ry, rx):
+    """Flat gather plane[ry, rx]; indices must already be in-bounds."""
+    h, w = plane.shape
+    idx = ry * w + rx
+    return jnp.take(plane.reshape(-1), idx, mode="clip")
+
+
+def mirror_inside(pos, dim: int):
+    """calcDeltaSumsKernel.cl:84-93 reflection into [0, dim), then clip."""
+    pos = jnp.where(pos >= dim, dim - (pos - dim + 1), pos)
+    pos = jnp.where(pos < 0, -pos - 1, pos)
+    return jnp.clip(pos, 0, dim - 1)
+
+
+def _subsampled_f2(geom: FlowGeometry, f2y, f2u, f2v):
+    """Frame-2 probe samples at the scaled grid (strided slices, no gather).
+
+    y2[cy,cx]   = f2y[cy<<rs, cx<<rs]
+    u2/v2[cy,cx] = f2u/v[(cy<<rs)>>1, (cx<<rs)>>1]
+    (calcDeltaSumsKernel.cl:96-98 with scaledC = c << resolutionScalar)."""
+    rs, lh, lw = geom.res_scalar, geom.low_h, geom.low_w
+    s = 1 << rs
+    y2 = f2y[::s, ::s][:lh, :lw]
+    if rs == 0:
+        u2 = jnp.repeat(jnp.repeat(f2u, 2, 0), 2, 1)[:lh, :lw]
+        v2 = jnp.repeat(jnp.repeat(f2v, 2, 0), 2, 1)[:lh, :lw]
+    else:
+        t = 1 << (rs - 1)
+        u2 = f2u[::t, ::t][:lh, :lw]
+        v2 = f2v[::t, ::t][:lh, :lw]
+    return (y2.astype(jnp.int32), u2.astype(jnp.int32), v2.astype(jnp.int32))
+
+
+def _delta_sums_one_step(
+    geom: FlowGeometry,
+    window: int,
+    iteration: int,
+    step: int,
+    radius: int,
+    off_x, off_y,                       # (lh, lw) int32 current offsets
+    f1y, f1u, f1v,                      # full-res planes (uint8/uint16)
+    f2_probe,                           # precomputed (y2, u2, v2) int32
+    delta_scalar, neighbor_bias_scalar,  # traced int32 scalars
+    luma_shift: int,
+):
+    """One (iteration, step): returns (radius, nwy, nwx) uint32 window sums.
+
+    Dense equivalent of calcDeltaSumsKernel.cl:34-188 + host window sum."""
+    rs, lh, lw = geom.res_scalar, geom.low_h, geom.low_w
+    H, W = geom.height, geom.stride
+    y2, u2, v2 = f2_probe
+
+    cyg, cxg = jnp.mgrid[0:lh, 0:lw]
+    scaled_cx = (cxg << rs).astype(jnp.int32)
+    scaled_cy = (cyg << rs).astype(jnp.int32)
+
+    rel = np.arange(radius, dtype=np.int64) - radius // 2
+    adj = np.where(rel > 0, rel * rel, -(rel * rel)).astype(np.int32)
+    adj = jnp.asarray(adj)[:, None, None]       # (R,1,1)
+
+    if step == 0:
+        cand_x = off_x[None] + adj               # (R, lh, lw)
+        cand_y = jnp.broadcast_to(off_y[None], (radius, lh, lw))
+        probe = cand_x
+        prev_plane = off_x
+    else:
+        cand_x = jnp.broadcast_to(off_x[None], (radius, lh, lw))
+        cand_y = off_y[None] + adj
+        probe = cand_y
+        prev_plane = off_y
+
+    new_cx = mirror_inside(scaled_cx[None] + cand_x, W)
+    new_cy = mirror_inside(scaled_cy[None] + cand_y, H)
+
+    y1 = _gather(f1y, new_cy, new_cx).astype(jnp.int32)
+    u1 = _gather(f1u, new_cy >> 1, new_cx >> 1).astype(jnp.int32)
+    v1 = _gather(f1v, new_cy >> 1, new_cx >> 1).astype(jnp.int32)
+
+    delta = (jnp.abs(y1 - y2[None]) + jnp.abs(u1 - u2[None])
+             + jnp.abs(v1 - v2[None])).astype(jnp.uint32)
+    if luma_shift:
+        # P010 path: compare top 8 bits so bias weights keep their meaning.
+        delta = delta >> np.uint32(luma_shift)
+    delta = delta << delta_scalar.astype(jnp.uint32)
+
+    offset_bias = jnp.abs(probe).astype(jnp.uint32)
+
+    if iteration >= FIRST_NEIGHBOR_ITERATION:
+        w2 = 2 * window
+        nb = jnp.zeros((radius, lh, lw), jnp.uint32)
+        for dx, dy in ((0, w2), (w2, 0), (-w2, 0), (0, -w2)):
+            nx = np.clip(np.arange(lw) + dx, 0, lw - 1)
+            ny = np.clip(np.arange(lh) + dy, 0, lh - 1)
+            n_off = prev_plane[jnp.asarray(ny)[:, None], jnp.asarray(nx)[None, :]]
+            nb = nb + jnp.abs(n_off[None] - probe).astype(jnp.uint32)
+        neighbor_bias = nb << neighbor_bias_scalar.astype(jnp.uint32)
+    else:
+        neighbor_bias = jnp.zeros((), jnp.uint32)
+
+    partial = delta + offset_bias + neighbor_bias   # uint32 wraparound
+
+    nwy, nwx = -(-lh // window), -(-lw // window)
+    if window > 1:
+        padded = jnp.zeros((radius, nwy * window, nwx * window), jnp.uint32)
+        padded = padded.at[:, :lh, :lw].set(partial)
+        sums = padded.reshape(radius, nwy, window, nwx, window).sum(axis=(2, 4),
+                                                                    dtype=jnp.uint32)
+    else:
+        sums = partial
+    return sums
+
+
+def _commit_winner(geom, window, step, radius, off_x, off_y, sums):
+    """determineLowestLayerKernel.cl + adjustOffsetArrayKernel.cl."""
+    lh, lw = geom.low_h, geom.low_w
+    lowest = jnp.argmin(sums, axis=0).astype(jnp.int32)   # first minimum
+    rel = lowest - radius // 2
+    adj = jnp.where(rel > 0, rel * rel, -(rel * rel))
+    if window > 1:
+        adj = jnp.repeat(jnp.repeat(adj, window, 0), window, 1)
+    adj = adj[:lh, :lw]
+    if step == 0:
+        return off_x + adj, off_y
+    return off_x, off_y + adj
+
+
+def blur_flow(offset, lh: int, lw: int):
+    """blurFlowKernel.cl: separable 8x8 box sum over taps [-4,3], symmetric
+    padding, truncating division by 64."""
+    r = BLUR_RADIUS
+    padded = jnp.pad(offset, ((0, 0), (r, r), (r, r)), mode="symmetric").astype(jnp.int32)
+    rows = jnp.zeros((offset.shape[0], lh, lw + 2 * r), jnp.int32)
+    for ky in range(-r, r):
+        rows = rows + padded[:, r + ky:r + ky + lh, :]
+    acc = jnp.zeros((offset.shape[0], lh, lw), jnp.int32)
+    for kx in range(-r, r):
+        acc = acc + rows[:, :, r + kx:r + kx + lw]
+    ksz = (2 * r) * (2 * r)
+    return jax.lax.div(acc, jnp.int32(ksz))   # trunc toward zero, like C
+
+
+def _flow_impl(geom: FlowGeometry, radius: int, luma_shift: int,
+               f1y, f1u, f1v, f2y, f2u, f2v,
+               delta_scalar, neighbor_bias_scalar):
+    lh, lw = geom.low_h, geom.low_w
+    off_x = jnp.zeros((lh, lw), jnp.int32)
+    off_y = jnp.zeros((lh, lw), jnp.int32)
+    f2_probe = _subsampled_f2(geom, f2y, f2u, f2v)
+
+    for iteration, window in enumerate(geom.window_schedule()):
+        for step in (0, 1):
+            sums = _delta_sums_one_step(
+                geom, window, iteration, step, radius,
+                off_x, off_y, f1y, f1u, f1v, f2_probe,
+                delta_scalar, neighbor_bias_scalar, luma_shift)
+            off_x, off_y = _commit_winner(geom, window, step, radius,
+                                          off_x, off_y, sums)
+
+    offset = jnp.stack([off_x, off_y])
+    blurred = blur_flow(offset, lh, lw)
+    return offset, blurred
+
+
+@functools.lru_cache(maxsize=64)
+def make_flow_fn(geom: FlowGeometry, radius: int, luma_shift: int = 0):
+    """Build the jitted flow function for a given geometry + search radius.
+
+    Returns fn(f1y, f1u, f1v, f2y, f2u, f2v, delta_scalar, nbs)
+      -> (offset (2,lh,lw) int32, blurred (2,lh,lw) int32)
+
+    f1 is the OLDER frame, f2 the NEWER (ping-pong semantics of
+    opticalFlowCalc.c:96-106 / 163-164)."""
+    impl = functools.partial(_flow_impl, geom, radius, luma_shift)
+    return jax.jit(impl)

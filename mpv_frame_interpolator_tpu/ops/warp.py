@@ -1,0 +1,341 @@
+"""Bidirectional frame warp + blend + output modes on TPU (JAX/XLA).
+
+Re-design of warpFrameKernel.cl (reference:
+video/filter/HopperRender/Kernels/warpFrameKernel.cl:114-182, launched once
+per plane from opticalFlowCalc.c:205-234).
+
+Key TPU choices:
+* The flow field is constant within each 2**rs x 2**rs full-res block
+  (the kernel indexes flow at c >> resolutionScalar, cl:151-152), so flow
+  "lookup" is a dense nearest-neighbor upsample (repeat + crop), not a
+  gather.  The reverse-flow lookup (cl:155-156) happens once at low res.
+* Only the final source-pixel fetches are gathers (2 per luma pixel for the
+  blended mode), with indices produced by pure elementwise math.
+* Chroma runs on planar u/v (NV12's interleave split at upload); the
+  kernel's (newCx & ~1) + (cx & 1) NV12 addressing (cl:171-176) becomes
+  even/odd column slices of the UV-pass coordinate grids.
+
+Output modes (vf_HopperRender.c:21): 0 WarpedFrame12, 1 WarpedFrame21,
+2 BlendedFrame, 3 HSVFlow, 4 GreyFlow, 5 SideBySide1, 6 SideBySide2.
+Modes 5/6 take a generic per-pixel-gather path; they are debug views.
+
+10-bit (P010-style, uint16 samples) is supported via scale_shift=8: level
+mapping and HSV math run on the 8-bit scale with fractional precision
+preserved, so the 8-bit semantics generalize continuously.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpv_frame_interpolator_tpu.ops.flow import FlowGeometry, _gather
+
+WARPED_FRAME_12 = 0
+WARPED_FRAME_21 = 1
+BLENDED_FRAME = 2
+HSV_FLOW = 3
+GREY_FLOW = 4
+SIDE_BY_SIDE_1 = 5
+SIDE_BY_SIDE_2 = 6
+
+
+def mirror_edge2(pos, dim: int):
+    """warpFrameKernel.cl:10-18: reflect, then clamp into [1, dim-2]."""
+    res = jnp.where(pos >= dim - 1, pos - (pos - (dim - 2)) * 2, pos)
+    res = jnp.where(pos < 1, -pos + 1, res)
+    return jnp.clip(res, 1, dim - 2)
+
+
+def _iround(x):
+    """(int)round(f) with round-half-away-from-zero (OpenCL round())."""
+    return (jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5)).astype(jnp.int32)
+
+
+def _reverse_flow(geom: FlowGeometry, blurred):
+    """offsetX21/offsetY21 at low res (warpFrameKernel.cl:155-156)."""
+    lh, lw, rs = geom.low_h, geom.low_w, geom.res_scalar
+    ox12, oy12 = blurred[0], blurred[1]
+    ly, lx = jnp.mgrid[0:lh, 0:lw]
+    bscy = jnp.clip(ly - (oy12 >> rs), 0, lh - 1)
+    bscx = jnp.clip(lx - (ox12 >> rs), 0, lw - 1)
+    ox21 = _gather(ox12, bscy, bscx)
+    oy21 = _gather(oy12, bscy, bscx)
+    return ox21, oy21
+
+
+def _upsample_y(geom: FlowGeometry, plane):
+    """Nearest upsample of a (lh,lw) plane to the (H, actual_width) luma grid."""
+    rep = 1 << geom.res_scalar
+    if rep > 1:
+        plane = jnp.repeat(jnp.repeat(plane, rep, 0), rep, 1)
+    return plane[:geom.height, :geom.actual_width]
+
+
+def _upsample_uv(geom: FlowGeometry, plane):
+    """Flow sample grid for the UV pass: value at (cy,cx) is
+    plane[(cy>>rs)<<1, (cx>>rs)&~1] (cl:151-152 with cz=1)."""
+    rep_r = 1 << geom.res_scalar
+    rep_c = 1 << (geom.res_scalar + 1)
+    sub = plane[::2, ::2]
+    sub = jnp.repeat(jnp.repeat(sub, rep_r, 0), rep_c, 1)
+    return sub[:geom.height // 2, :geom.actual_width]
+
+
+def _apply_levels_y(v, black, white, peak_f, down):
+    out = (v * down - black) / (white - black) * 255.0
+    return jnp.clip(out, 0.0, 255.0)
+
+
+def _apply_levels_uv(v, white, peak_f, down):
+    out = (v * down - 128.0) / white * 255.0 + 128.0
+    return jnp.clip(out, 0.0, 255.0)
+
+
+def _visualize_flow(off_x, off_y, curr_8, channel: int, res_impact: int):
+    """visualizeFlow (warpFrameKernel.cl:21-111) for one plane.
+
+    off_x/off_y int32 (already negated by caller), curr_8 float in 8-bit
+    scale, channel: 0=Y, 1=U, 2=V (constant per plane in planar layout)."""
+    zero_flow = (jnp.abs(off_x) < 1) & (jnp.abs(off_y) < 1)
+    fx = off_x.astype(jnp.float32)
+    fy = off_y.astype(jnp.float32)
+
+    angle = jnp.arctan2(fy, fx) * np.float32(180.0 / math.pi)
+    angle = jnp.where(angle < 0, angle + 360.0, angle)
+    angle = jnp.where(angle >= 360.0, angle - 360.0, angle)
+    hue = angle / np.float32(360.0)
+
+    h_i = (hue * 6.0).astype(jnp.int32)
+    f = hue * 6.0 - h_i.astype(jnp.float32)
+    q = 1.0 - f
+    f255 = jnp.trunc(f * 255.0)
+    q255 = jnp.trunc(q * 255.0)
+
+    sector = jnp.mod(h_i, 6)
+    zeros = jnp.zeros_like(f255)
+    full = jnp.full_like(f255, 255.0)
+    r = jnp.select([sector == 0, sector == 1, sector == 2, sector == 3,
+                    sector == 4, sector == 5],
+                   [full, q255, zeros, zeros, f255, full], zeros)
+    g = jnp.select([sector == 0, sector == 1, sector == 2, sector == 3,
+                    sector == 4, sector == 5],
+                   [f255, full, full, q255, zeros, zeros], zeros)
+    b = jnp.select([sector == 0, sector == 1, sector == 2, sector == 3,
+                    sector == 4, sector == 5],
+                   [zeros, zeros, f255, full, full, q255], zeros)
+
+    mag = (jnp.abs(fx) + jnp.abs(fy)) * np.float32(res_impact)
+    r = jnp.trunc(jnp.clip(r / 255.0 * mag, 0.0, 255.0))
+    g = jnp.trunc(jnp.clip(g / 255.0 * jnp.abs(fy) * 2.0 * np.float32(res_impact), 0.0, 255.0))
+    b = jnp.trunc(jnp.clip(b / 255.0 * mag, 0.0, 255.0))
+
+    r = jnp.where(zero_flow, 0.0, r)
+    g = jnp.where(zero_flow, 0.0, g)
+    b = jnp.where(zero_flow, 0.0, b)
+
+    if channel == 0:
+        lum = jnp.trunc(jnp.clip(r * 0.299 + g * 0.587 + b * 0.114, 0.0, 255.0))
+        return (lum.astype(jnp.int32) >> 1).astype(jnp.float32) + jnp.trunc(curr_8 / 2.0)
+    if channel == 1:
+        return jnp.trunc(jnp.clip(r * -0.168736 + g * -0.331264 + b * 0.5 + 128.0, 0.0, 255.0))
+    return jnp.trunc(jnp.clip(r * 0.5 + g * -0.418688 + b * -0.081312 + 128.0, 0.0, 255.0))
+
+
+def _warp_impl(geom: FlowGeometry, mode: int, scale_shift: int, dtype,
+               f1y, f1u, f1v, f2y, f2u, f2v, blurred, t, black, white):
+    """Returns (y, u, v) warped/blended output planes."""
+    H, Wa, rs = geom.height, geom.actual_width, geom.res_scalar
+    fs12 = t.astype(jnp.float32)
+    fs21 = (1.0 - t).astype(jnp.float32)
+    peak_f = np.float32(255.0 * (1 << scale_shift) + (255.0 if scale_shift else 0.0))
+    peak_i = (1 << (8 + scale_shift)) - 1          # 255 or 65535
+    down = np.float32(1.0 / (1 << scale_shift))    # to 8-bit scale
+    up = np.float32(1 << scale_shift)
+    mid = 128 << scale_shift
+
+    if mode in (SIDE_BY_SIDE_1, SIDE_BY_SIDE_2):
+        return _warp_sbs(geom, mode, scale_shift, dtype,
+                         f1y, f1u, f1v, f2y, f2u, f2v, blurred,
+                         fs12, fs21, black, white)
+
+    ox21_lo, oy21_lo = _reverse_flow(geom, blurred)
+
+    # ---------------- luma pass (cz = 0) ----------------
+    OX12 = _upsample_y(geom, blurred[0])
+    OY12 = _upsample_y(geom, blurred[1])
+
+    if mode == GREY_FLOW:
+        grey = jnp.minimum((jnp.abs(OX12) + jnp.abs(OY12)) << 2, 255)
+        out_y = (grey << scale_shift).astype(dtype)
+        cu = jnp.full((H // 2, Wa // 2), mid, dtype)
+        return out_y, cu, cu
+
+    OX21 = _upsample_y(geom, ox21_lo)
+    OY21 = _upsample_y(geom, oy21_lo)
+
+    cyg, cxg = jnp.mgrid[0:H, 0:Wa]
+    ncx12 = mirror_edge2(cxg + _iround(OX12.astype(jnp.float32) * fs12), Wa)
+    ncy12 = mirror_edge2(cyg + _iround(OY12.astype(jnp.float32) * fs12), H)
+    ncx21 = mirror_edge2(cxg - _iround(OX21.astype(jnp.float32) * fs21), Wa)
+    ncy21 = mirror_edge2(cyg - _iround(OY21.astype(jnp.float32) * fs21), H)
+
+    if mode == WARPED_FRAME_12:
+        out_y = _gather(f1y, ncy12, ncx12)
+    elif mode == WARPED_FRAME_21:
+        out_y = _gather(f2y, ncy21, ncx21)
+    else:
+        s12 = _gather(f1y, ncy12, ncx12).astype(jnp.float32)
+        s21 = _gather(f2y, ncy21, ncx21).astype(jnp.float32)
+        blended = jnp.trunc(s12 * fs21 + s21 * fs12)
+        if mode == HSV_FLOW:
+            res_impact = 4 if rs <= 2 else 1
+            blended = _visualize_flow(-OX12, -OY12, blended * down, 0, res_impact) * up
+        out_y = jnp.trunc(_apply_levels_y(blended, black, white, peak_f, down) * up)
+        out_y = jnp.clip(out_y, 0, peak_i)
+    out_y = out_y.astype(dtype)
+
+    # ---------------- chroma pass (cz = 1) ----------------
+    OX12c = _upsample_uv(geom, blurred[0])
+    OY12c = _upsample_uv(geom, blurred[1])
+    OX21c = _upsample_uv(geom, ox21_lo)
+    OY21c = _upsample_uv(geom, oy21_lo)
+
+    hc = H >> 1
+    cyg, cxg = jnp.mgrid[0:hc, 0:Wa]
+    ncx12 = mirror_edge2(cxg + _iround(OX12c.astype(jnp.float32) * fs12), Wa)
+    ncy12 = mirror_edge2(cyg + _iround(OY12c.astype(jnp.float32) * fs12 * 0.5), hc)
+    ncx21 = mirror_edge2(cxg - _iround(OX21c.astype(jnp.float32) * fs21), Wa)
+    ncy21 = mirror_edge2(cyg - _iround(OY21c.astype(jnp.float32) * fs21 * 0.5), hc)
+
+    def samp(plane, ncy, ncx, par):
+        # NV12 addressing (newCx & ~1) + (cx & 1) on planar u/v:
+        # take every other output column's coordinates (parity par).
+        return _gather(plane, ncy[:, par::2], ncx[:, par::2] >> 1)
+
+    if mode == WARPED_FRAME_12:
+        out_u = samp(f1u, ncy12, ncx12, 0)
+        out_v = samp(f1v, ncy12, ncx12, 1)
+    elif mode == WARPED_FRAME_21:
+        out_u = samp(f2u, ncy21, ncx21, 0)
+        out_v = samp(f2v, ncy21, ncx21, 1)
+    else:
+        bu = jnp.trunc(samp(f1u, ncy12, ncx12, 0).astype(jnp.float32) * fs21
+                       + samp(f2u, ncy21, ncx21, 0).astype(jnp.float32) * fs12)
+        bv = jnp.trunc(samp(f1v, ncy12, ncx12, 1).astype(jnp.float32) * fs21
+                       + samp(f2v, ncy21, ncx21, 1).astype(jnp.float32) * fs12)
+        if mode == HSV_FLOW:
+            res_impact = 4 if rs <= 2 else 1
+            bu = _visualize_flow(-OX12c[:, 0::2], -OY12c[:, 0::2], bu * down, 1, res_impact) * up
+            bv = _visualize_flow(-OX12c[:, 1::2], -OY12c[:, 1::2], bv * down, 2, res_impact) * up
+        out_u = jnp.clip(jnp.trunc(_apply_levels_uv(bu, white, peak_f, down) * up), 0, peak_i)
+        out_v = jnp.clip(jnp.trunc(_apply_levels_uv(bv, white, peak_f, down) * up), 0, peak_i)
+    return out_y, out_u.astype(dtype), out_v.astype(dtype)
+
+
+def _warp_sbs(geom, mode, scale_shift, dtype,
+              f1y, f1u, f1v, f2y, f2u, f2v, blurred,
+              fs12, fs21, black, white):
+    """Side-by-side debug modes (warpFrameKernel.cl:131-148), generic
+    per-pixel-gather path for both planes."""
+    H, Wa, rs = geom.height, geom.actual_width, geom.res_scalar
+    W = geom.stride
+    lh, lw = geom.low_h, geom.low_w
+    down = np.float32(1.0 / (1 << scale_shift))
+    up = np.float32(1 << scale_shift)
+    peak_i = (1 << (8 + scale_shift)) - 1
+    mid = 128 << scale_shift
+    peak_f = np.float32(peak_i)
+
+    outs = []
+    for cz in (0, 1):
+        rows = H if cz == 0 else H >> 1
+        plane_rows = rows
+        cyg, cxg = jnp.mgrid[0:rows, 0:Wa]
+        adj_cy, adj_cx = cyg, cxg
+        src1 = f1y if cz == 0 else None
+        forced_mask = jnp.zeros((rows, Wa), bool)
+        forced_val = jnp.zeros((rows, Wa), jnp.int32)
+
+        def fetch(py, pu, pv, ry, rx):
+            if cz == 0:
+                return _gather(py, ry, rx).astype(jnp.int32)
+            u = _gather(pu, ry, rx >> 1).astype(jnp.int32)
+            v = _gather(pv, ry, rx >> 1).astype(jnp.int32)
+            return jnp.where((cxg & 1) == 0, u, v)
+
+        if mode == SIDE_BY_SIDE_1:
+            # left side copies source verbatim (cl:131-133): index is (cy, cx)
+            left = cxg < (Wa >> 1)
+            lv = fetch(f1y, f1u, f1v, cyg, cxg)
+            forced_mask, forced_val = left, lv
+        else:  # SIDE_BY_SIDE_2
+            vo = H >> 2
+            in_rows = (cyg >= (vo >> cz)) & (cyg < ((vo >> cz) + (H >> (1 + cz))))
+            in_left = in_rows & (cxg < (W >> 1))
+            in_right = in_rows & (cxg >= (W >> 1)) & (cxg < W)
+            ly = jnp.clip((cyg - (vo >> cz)) << 1, 0, plane_rows - 1)
+            lx = jnp.clip((cxg << 1) + ((cxg & 1) if cz else 0), 0, W - 1)
+            lv = fetch(f1y, f1u, f1v, ly, lx)
+            forced_mask = in_left | (~in_left & ~in_right)
+            forced_val = jnp.where(in_left, lv, mid if cz else 0)
+            adj_cx = jnp.where(in_right, (cxg - (Wa >> 1)) << 1, cxg)
+            adj_cy = jnp.where(in_right, (cyg - (vo >> cz)) << 1, cyg)
+
+        # flow lookup (generic gather; adj coords are dynamic here)
+        if cz == 0:
+            scx = jnp.clip(adj_cx >> rs, 0, lw - 1)
+            scy = jnp.clip(adj_cy >> rs, 0, lh - 1)
+        else:
+            scx = jnp.clip((adj_cx >> rs) & ~1, 0, lw - 1)
+            scy = jnp.clip((adj_cy >> rs) << 1, 0, lh - 1)
+        ox12 = _gather(blurred[0], scy, scx)
+        oy12 = _gather(blurred[1], scy, scx)
+        bscy = jnp.clip(scy - (oy12 >> rs), 0, lh - 1)
+        bscx = jnp.clip(scx - (ox12 >> rs), 0, lw - 1)
+        ox21 = _gather(blurred[0], bscy, bscx)
+        oy21 = _gather(blurred[1], bscy, bscx)
+
+        ydim = (H >> 1) if cz else H
+        yscale = 0.5 if cz else 1.0
+        ncx12 = mirror_edge2(adj_cx + _iround(ox12.astype(jnp.float32) * fs12), Wa)
+        ncy12 = mirror_edge2(adj_cy + _iround(oy12.astype(jnp.float32) * fs12 * yscale), ydim)
+        ncx21 = mirror_edge2(adj_cx - _iround(ox21.astype(jnp.float32) * fs21), Wa)
+        ncy21 = mirror_edge2(adj_cy - _iround(oy21.astype(jnp.float32) * fs21 * yscale), ydim)
+        if cz:
+            sx12 = (ncx12 & ~1) + (cxg & 1)
+            sx21 = (ncx21 & ~1) + (cxg & 1)
+        else:
+            sx12, sx21 = ncx12, ncx21
+        s12 = fetch(f1y, f1u, f1v, ncy12, sx12).astype(jnp.float32)
+        s21 = fetch(f2y, f2u, f2v, ncy21, sx21).astype(jnp.float32)
+        blended = jnp.trunc(s12 * fs21 + s21 * fs12)
+        if cz:
+            val = jnp.trunc(_apply_levels_uv(blended, white, peak_f, down) * up)
+        else:
+            val = jnp.trunc(_apply_levels_y(blended, black, white, peak_f, down) * up)
+        val = jnp.clip(val, 0, peak_i).astype(jnp.int32)
+        val = jnp.where(forced_mask, forced_val, val)
+        outs.append(val)
+
+    out_y = outs[0].astype(dtype)
+    uv = outs[1]
+    out_u = uv[:, 0::2].astype(dtype)
+    out_v = uv[:, 1::2].astype(dtype)
+    return out_y, out_u, out_v
+
+
+@functools.lru_cache(maxsize=64)
+def make_warp_fn(geom: FlowGeometry, mode: int, scale_shift: int = 0):
+    """Jitted warp: fn(f1y,f1u,f1v,f2y,f2u,f2v, blurred, t, black, white)
+    -> (y (H,Wa), u (H/2,Wa/2), v (H/2,Wa/2)).
+
+    f1 = older source frame, f2 = newer; t = blendingScalar in [0,1]
+    (opticalFlowCalc.c:214-216: frameScalar12 = t, frameScalar21 = 1-t)."""
+    dtype = jnp.uint16 if scale_shift else jnp.uint8
+    impl = functools.partial(_warp_impl, geom, mode, scale_shift, dtype)
+    return jax.jit(impl)

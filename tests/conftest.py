@@ -1,0 +1,41 @@
+"""Test environment: force the CPU backend with 8 virtual devices so
+sharding tests run without TPU hardware (the Pallas kernels use
+interpret=True on CPU)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from mpv_frame_interpolator_tpu.frame import FrameFormat, VideoFrame, split_chroma  # noqa: E402
+from mpv_frame_interpolator_tpu.io import synthetic  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def small_cfg():
+    # 64x48: res_scalar = 0 path; fast on CPU
+    return synthetic.SyntheticConfig(width=64, height=48, fps=24.0)
+
+
+@pytest.fixture(scope="session")
+def pyramid_cfg():
+    # tall enough that res_scalar > 0 (height 544 >> 1 = 272 > 270 -> rs 2)
+    return synthetic.SyntheticConfig(width=96, height=544, fps=24.0)
+
+
+def frame_pair(cfg, source="moving_box", **kw):
+    gen = getattr(synthetic, source)(cfg, 2, **kw)
+    f1 = next(gen)
+    f2 = next(gen)
+    return f1, f2
+
+
+def planar(frame: VideoFrame):
+    u, v = split_chroma(frame.uv)
+    return frame.y, u, v
