@@ -1,0 +1,197 @@
+"""Command-line entry point.
+
+The rebuild's player/main.c + options layer: a typed flag surface mirroring
+the knobs the reference exposes (FrameOutput filter option
+vf_HopperRender.c:715-716, config.h tunables, --vo-null-fps / --untimed
+test switches, --o encode mode).
+
+Examples:
+  python -m mpv_frame_interpolator_tpu synthetic:moving_box --frames 48 \
+      --display-fps 60 -o /tmp/out.y4m
+  python -m mpv_frame_interpolator_tpu input.y4m --display-fps 120 --untimed \
+      --mode 3 -o flow_vis.y4m
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+from mpv_frame_interpolator_tpu.frame import NV12, P010
+from mpv_frame_interpolator_tpu.io import synthetic, sinks, y4m
+from mpv_frame_interpolator_tpu.pipeline.engine import (
+    EngineConfig, InterpolationEngine)
+from mpv_frame_interpolator_tpu.pipeline.player import Pipeline
+from mpv_frame_interpolator_tpu.pipeline.present import PresentClock
+from mpv_frame_interpolator_tpu.utils import get_logger
+from mpv_frame_interpolator_tpu.utils.logging import set_verbosity
+
+log = get_logger("cli")
+
+MODES = {"warp12": 0, "warp21": 1, "blend": 2, "hsv": 3, "grey": 4,
+         "sbs1": 5, "sbs2": 6}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="mpv_frame_interpolator_tpu",
+        description="TPU-native optical-flow frame interpolation")
+    p.add_argument("source",
+                   help="input: .y4m path, media path (needs ffmpeg), or "
+                        "synthetic:<moving_box|gradient_pan|noise|scene_cut>")
+    p.add_argument("--width", type=int, default=1920,
+                   help="synthetic/raw width")
+    p.add_argument("--height", type=int, default=1080,
+                   help="synthetic/raw height")
+    p.add_argument("--fps", type=float, default=24.0,
+                   help="synthetic/raw source fps")
+    p.add_argument("--frames", type=int, default=96,
+                   help="max source frames to process (0 = all)")
+    p.add_argument("--p010", action="store_true",
+                   help="run the 10-bit pipeline")
+    p.add_argument("--display-fps", type=float, default=60.0,
+                   help="target display rate (vo_null --vo-null-fps analog)")
+    p.add_argument("--untimed", action="store_true",
+                   help="do not pace output to the display clock")
+    p.add_argument("--no-present", action="store_true",
+                   help="skip the present clock entirely (max throughput)")
+    p.add_argument("--mode", default="blend",
+                   help="output mode: warp12|warp21|blend|hsv|grey|sbs1|sbs2 "
+                        "or FrameOutput integer 0-6 (vf_HopperRender.c:21)")
+    p.add_argument("--speed", type=float, default=1.0, help="playback speed")
+    p.add_argument("--search-radius", type=int, default=5,
+                   help="initial optical-flow search radius [5..16]")
+    p.add_argument("--no-auto-quality", action="store_true",
+                   help="disable the auto search-radius controller")
+    p.add_argument("--no-scene-detection", action="store_true")
+    p.add_argument("--scene-threshold", type=float, default=28.0)
+    p.add_argument("--black-level", type=float, default=0.0)
+    p.add_argument("--white-level", type=float, default=255.0)
+    p.add_argument("--delta-scalar", type=int, default=8)
+    p.add_argument("--neighbor-bias-scalar", type=int, default=6)
+    p.add_argument("--max-calc-res", type=int, default=270)
+    p.add_argument("--num-iterations", type=int, default=0)
+    p.add_argument("--precompile", action="store_true",
+                   help="compile all radii up front")
+    p.add_argument("-o", "--output", default="",
+                   help="write outputs to a .y4m file")
+    p.add_argument("--dump-pgm", default="",
+                   help="dump luma planes as PGM files into this directory")
+    p.add_argument("--applet-fifo", default="",
+                   help="serve the HopperRender settings-applet protocol on "
+                        "this FIFO path (e.g. /tmp/hopperrender)")
+    p.add_argument("-v", "--verbose", action="count", default=0)
+    return p
+
+
+def make_source(args):
+    if args.source.startswith("synthetic:"):
+        name = args.source.split(":", 1)[1]
+        cfg = synthetic.SyntheticConfig(
+            width=args.width, height=args.height, fps=args.fps,
+            pixfmt=P010 if args.p010 else NV12)
+        gen = getattr(synthetic, name, None)
+        if gen is None:
+            raise SystemExit(f"unknown synthetic source {name!r}")
+        n = args.frames or 1 << 30
+        return gen(cfg, n), cfg.width, cfg.height
+    if args.source.endswith(".yuv"):
+        fh = open(args.source, "rb")
+        rdr = y4m.RawYUVReader(fh, args.width, args.height, args.fps,
+                               P010 if args.p010 else NV12)
+        return iter(rdr), args.width, args.height
+    if args.source.endswith(".y4m"):
+        rdr = y4m.Y4MReader(open(args.source, "rb"))
+        return iter(rdr), rdr.width, rdr.height
+    from mpv_frame_interpolator_tpu.io.decode import ffmpeg_source
+    src = ffmpeg_source(args.source, P010 if args.p010 else NV12)
+    return src, args.width, args.height
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.verbose:
+        set_verbosity(10)
+
+    # The axon sitecustomize force-selects the TPU backend via jax.config,
+    # overriding JAX_PLATFORMS; MFI_PLATFORM=cpu restores an explicit choice.
+    platform = os.environ.get("MFI_PLATFORM")
+    if platform:
+        import jax
+        jax.config.update("jax_platforms", platform)
+
+    try:
+        mode = int(args.mode)
+    except ValueError:
+        mode = MODES.get(args.mode)
+        if mode is None:
+            raise SystemExit(f"unknown mode {args.mode!r}")
+
+    source, width, height = make_source(args)
+
+    config = EngineConfig(
+        display_fps=args.display_fps,
+        frame_output_mode=mode,
+        auto_quality=not args.no_auto_quality,
+        initial_search_radius=args.search_radius,
+        scene_detection=not args.no_scene_detection,
+        scene_threshold=args.scene_threshold,
+        delta_scalar=args.delta_scalar,
+        neighbor_bias_scalar=args.neighbor_bias_scalar,
+        black_level=args.black_level,
+        white_level=args.white_level,
+        max_calc_res=args.max_calc_res,
+        num_iterations=args.num_iterations,
+        playback_speed=args.speed,
+        precompile=args.precompile,
+    )
+    engine = InterpolationEngine(config)
+    if args.speed != 1.0:
+        engine.set_speed(args.speed)
+
+    if args.output:
+        sink = sinks.Y4MFileSink(args.output, width, height,
+                                 args.display_fps,
+                                 P010 if args.p010 else NV12)
+    elif args.dump_pgm:
+        sink = sinks.PgmDumpSink(args.dump_pgm)
+    else:
+        sink = sinks.NullSink()
+
+    present = None
+    if not args.no_present:
+        present = PresentClock(args.display_fps, untimed=args.untimed)
+
+    pipe = Pipeline(source, engine, sink, present)
+
+    applet = None
+    if args.applet_fifo:
+        from mpv_frame_interpolator_tpu.control.applet import AppletServer
+        applet = AppletServer(args.applet_fifo, engine)
+        applet.start()
+
+    t0 = time.perf_counter()
+    try:
+        n = pipe.run(max_source_frames=args.frames or None)
+    finally:
+        if applet:
+            applet.stop()
+    dt = time.perf_counter() - t0
+    s = engine.stats.summary().get("source_frame_time", {})
+    log.info("%d source -> %d output frames in %.2fs (%.1f out-fps); "
+             "per-source mean=%.2fms p99=%.2fms; radius=%d",
+             pipe.frames_in, n, dt, n / dt if dt else 0.0,
+             s.get("mean", 0.0) * 1e3, s.get("p99", 0.0) * 1e3,
+             engine.quality.search_radius)
+    if present:
+        log.info("present: %d flips, %d drops, est fps %.2f, jitter %.4fms",
+                 present.presented, present.drops,
+                 present.estimated_display_fps(),
+                 present.vsync_jitter() * 1e3)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

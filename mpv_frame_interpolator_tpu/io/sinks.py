@@ -1,0 +1,114 @@
+"""Frame sinks: where output frames go after interpolation.
+
+The reference hands frames to the VO thread (video/out/vo.c) or, offline,
+to an encoder (video/out/vo_lavc.c).  The rebuild's sinks:
+
+  NullSink   -- swallow frames, optionally forcing device sync (vo_null
+                analog, video/out/vo_null.c)
+  Y4MFileSink-- write a .y4m file (vo_lavc/--o analog, the offline
+                ground-truth path)
+  PsnrSink   -- compare each frame against a caller-supplied reference
+                generator (the rebuild's screenshot/PSNR verification
+                analog, player/screenshot.c)
+  PgmDumpSink-- dump luma planes as PGM images for eyeballing
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Iterator, List, Optional
+
+import numpy as np
+
+from mpv_frame_interpolator_tpu.frame import VideoFrame, psnr_arrays
+from mpv_frame_interpolator_tpu.io.y4m import Y4MWriter
+from mpv_frame_interpolator_tpu.pipeline.engine import OutputFrame
+
+
+class NullSink:
+    def __init__(self, block: bool = True):
+        self.block = block
+        self.count = 0
+        self.last_pts = None
+
+    def write(self, frame: OutputFrame):
+        if self.block:
+            frame.block()
+        self.count += 1
+        self.last_pts = frame.pts
+
+    def close(self):
+        pass
+
+
+class Y4MFileSink:
+    def __init__(self, path: str, width: int, height: int, fps: float,
+                 pixfmt: str = "nv12"):
+        self._fh = open(path, "wb")
+        self._writer = Y4MWriter(self._fh, width, height, fps, pixfmt)
+        self.count = 0
+
+    def write(self, frame: OutputFrame):
+        self._writer.write(frame.to_video_frame())
+        self.count += 1
+
+    def close(self):
+        self._writer.close()
+        self._fh.close()
+
+
+class PsnrSink:
+    """Measures PSNR of every written frame against reference frames
+    produced by `reference_fn(index, pts)` (or a list)."""
+
+    def __init__(self, reference_fn: Callable[[int, float], VideoFrame],
+                 plane: str = "y"):
+        self.reference_fn = reference_fn
+        self.plane = plane
+        self.values: List[float] = []
+
+    def write(self, frame: OutputFrame):
+        vf = frame.to_video_frame()
+        ref = self.reference_fn(len(self.values), frame.pts)
+        w = min(vf.fmt.width, ref.fmt.width)
+        if self.plane == "y":
+            a, b = vf.y[:, :w], ref.y[:, :w]
+        else:
+            a, b = vf.uv[:, :w], ref.uv[:, :w]
+        self.values.append(psnr_arrays(a, b, vf.fmt.max_value))
+
+    @property
+    def min(self) -> float:
+        return min(self.values) if self.values else 0.0
+
+    @property
+    def mean(self) -> float:
+        finite = [v for v in self.values if v != float("inf")]
+        return sum(finite) / len(finite) if finite else float("inf")
+
+    def close(self):
+        pass
+
+
+class PgmDumpSink:
+    def __init__(self, directory: str, prefix: str = "frame"):
+        os.makedirs(directory, exist_ok=True)
+        self.directory = directory
+        self.prefix = prefix
+        self.count = 0
+
+    def write(self, frame: OutputFrame):
+        vf = frame.to_video_frame()
+        w = vf.fmt.width
+        y = vf.y[:, :w]
+        if y.dtype == np.uint16:
+            y = (y >> 8).astype(np.uint8)
+        path = os.path.join(self.directory,
+                            f"{self.prefix}_{self.count:06d}.pgm")
+        with open(path, "wb") as fh:
+            fh.write(f"P5\n{w} {y.shape[0]}\n255\n".encode())
+            fh.write(np.ascontiguousarray(y).tobytes())
+        self.count += 1
+
+    def close(self):
+        pass

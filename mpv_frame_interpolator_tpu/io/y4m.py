@@ -1,0 +1,172 @@
+"""YUV4MPEG2 (.y4m) reader/writer and raw YUV reader.
+
+The host-side media boundary.  The build image has no FFmpeg/PyAV, so the
+framework speaks the simplest interchange formats every tool understands:
+y4m (ffmpeg's `-f yuv4mpegpipe`) and raw planar I420/I420-10LE.  The decode
+layer (io/decode.py) shells out to ffmpeg into this pipe format when a real
+decoder is present on the system.
+
+Replaces, for the rebuild's scope, the reference's demux/decode stack
+(demux/demux.c, video/decode/vd_lavc.c) whose output HopperRender consumes
+as NV12 frames with pts + nominal_fps (vf_HopperRender.c:416-428).
+"""
+
+from __future__ import annotations
+
+import io as _io
+import os
+from typing import Iterator, Optional, BinaryIO
+
+import numpy as np
+
+from mpv_frame_interpolator_tpu.frame import (
+    FrameFormat, VideoFrame, NV12, P010, interleave_chroma, split_chroma)
+
+
+class Y4MError(ValueError):
+    pass
+
+
+_COLORSPACE_8 = {"420", "420jpeg", "420mpeg2", "420paldv"}
+_COLORSPACE_10 = {"420p10"}
+
+
+def _parse_ratio(s: str) -> float:
+    num, den = s.split(":")
+    den = int(den)
+    return int(num) / den if den else 0.0
+
+
+class Y4MReader:
+    """Streaming y4m demuxer -> VideoFrame (NV12 or P010 planes)."""
+
+    def __init__(self, fh: BinaryIO, start_pts: float = 0.0):
+        self._fh = fh
+        header = fh.readline().decode("ascii", "replace").strip()
+        if not header.startswith("YUV4MPEG2"):
+            raise Y4MError("not a YUV4MPEG2 stream")
+        self.width = self.height = 0
+        self.fps = 0.0
+        cs = "420mpeg2"
+        for tok in header.split()[1:]:
+            key, val = tok[0], tok[1:]
+            if key == "W":
+                self.width = int(val)
+            elif key == "H":
+                self.height = int(val)
+            elif key == "F":
+                self.fps = _parse_ratio(val)
+            elif key == "C":
+                cs = val
+        if not (self.width and self.height):
+            raise Y4MError(f"missing dimensions in header: {header!r}")
+        if cs in _COLORSPACE_8:
+            self.pixfmt = NV12
+        elif cs in _COLORSPACE_10:
+            self.pixfmt = P010
+        else:
+            raise Y4MError(f"unsupported colorspace C{cs} (need 4:2:0)")
+        self.fmt = FrameFormat(self.width, self.height, self.pixfmt)
+        self._pts = start_pts
+        self._dt = 1.0 / self.fps if self.fps > 0 else 1.0 / 24.0
+
+    def __iter__(self) -> Iterator[VideoFrame]:
+        w, h = self.width, self.height
+        dtype = self.fmt.dtype
+        itemsize = dtype().itemsize
+        ysz = w * h * itemsize
+        csz = (w // 2) * (h // 2) * itemsize
+        while True:
+            line = self._fh.readline()
+            if not line:
+                return
+            if not line.startswith(b"FRAME"):
+                raise Y4MError(f"bad frame marker: {line[:20]!r}")
+            buf = self._fh.read(ysz + 2 * csz)
+            if len(buf) < ysz + 2 * csz:
+                return
+            y = np.frombuffer(buf, dtype, w * h, 0).reshape(h, w)
+            u = np.frombuffer(buf, dtype, (w // 2) * (h // 2), ysz).reshape(h // 2, w // 2)
+            v = np.frombuffer(buf, dtype, (w // 2) * (h // 2), ysz + csz).reshape(h // 2, w // 2)
+            if self.pixfmt == P010:
+                # y4m 420p10 carries 10-bit values; P010 uses the top bits
+                y = (y.astype(np.uint16) << 6)
+                u = (u.astype(np.uint16) << 6)
+                v = (v.astype(np.uint16) << 6)
+            frame = VideoFrame(np.ascontiguousarray(y),
+                               interleave_chroma(u, v), self.fmt,
+                               pts=self._pts, nominal_fps=self.fps)
+            self._pts += self._dt
+            yield frame
+
+
+class Y4MWriter:
+    """VideoFrame -> y4m stream (planar I420 / I420p10)."""
+
+    def __init__(self, fh: BinaryIO, width: int, height: int, fps: float,
+                 pixfmt: str = NV12):
+        self._fh = fh
+        self.pixfmt = pixfmt
+        num = int(round(fps * 1001))
+        if abs(num / 1001 - fps) < 1e-6 and num % 1000:
+            ratio = f"{num}:1001"
+        else:
+            ratio = f"{int(round(fps))}:1"
+        cs = "C420mpeg2" if pixfmt == NV12 else "C420p10"
+        fh.write(f"YUV4MPEG2 W{width} H{height} F{ratio} Ip A1:1 {cs}\n"
+                 .encode("ascii"))
+        self._n = 0
+
+    def write(self, frame: VideoFrame):
+        self._fh.write(b"FRAME\n")
+        w = frame.fmt.width
+        u, v = split_chroma(frame.uv[:, :w])
+        y = frame.y[:, :w]
+        if self.pixfmt == P010:
+            y, u, v = (y >> 6), (u >> 6), (v >> 6)
+        self._fh.write(np.ascontiguousarray(y).tobytes())
+        self._fh.write(np.ascontiguousarray(u).tobytes())
+        self._fh.write(np.ascontiguousarray(v).tobytes())
+        self._n += 1
+
+    def close(self):
+        self._fh.flush()
+
+
+class RawYUVReader:
+    """Raw planar I420 (8-bit) or I420 10LE reader; geometry supplied by the
+    caller (like mpv's demux_raw --demuxer-rawvideo-*)."""
+
+    def __init__(self, fh: BinaryIO, width: int, height: int, fps: float,
+                 pixfmt: str = NV12, start_pts: float = 0.0):
+        self.fmt = FrameFormat(width, height, pixfmt)
+        self._fh = fh
+        self.fps = fps
+        self._pts = start_pts
+
+    def __iter__(self) -> Iterator[VideoFrame]:
+        w, h = self.fmt.width, self.fmt.height
+        dtype = self.fmt.dtype
+        itemsize = dtype().itemsize
+        ysz, csz = w * h * itemsize, (w // 2) * (h // 2) * itemsize
+        while True:
+            buf = self._fh.read(ysz + 2 * csz)
+            if len(buf) < ysz + 2 * csz:
+                return
+            y = np.frombuffer(buf, dtype, w * h, 0).reshape(h, w)
+            u = np.frombuffer(buf, dtype, (w // 2) * (h // 2), ysz).reshape(h // 2, w // 2)
+            v = np.frombuffer(buf, dtype, (w // 2) * (h // 2), ysz + csz).reshape(h // 2, w // 2)
+            if self.fmt.pixfmt == P010:
+                y, u, v = (y.astype(np.uint16) << 6), (u.astype(np.uint16) << 6), (v.astype(np.uint16) << 6)
+            yield VideoFrame(np.ascontiguousarray(y), interleave_chroma(u, v),
+                             self.fmt, pts=self._pts, nominal_fps=self.fps)
+            self._pts += 1.0 / self.fps
+
+
+def open_source(path: str, **kw) -> Iterator[VideoFrame]:
+    """Open a media path: .y4m natively; anything else via ffmpeg if
+    available (io/decode.py)."""
+    if path.endswith(".y4m"):
+        return iter(Y4MReader(open(path, "rb"), **kw))
+    from mpv_frame_interpolator_tpu.io.decode import ffmpeg_source
+    return ffmpeg_source(path, **kw)

@@ -347,13 +347,30 @@ def _visualize_flow(off_x, off_y, curr_pixel, channel, res_impact):
 
 
 def _apply_levels_y(value, black, white):
-    """warpFrameKernel.cl:1-3 (float -> uchar truncation)."""
-    return np.trunc(_clampf((value - black) / (white - black) * 255.0, 0.0, 255.0)).astype(np.int64)
+    """Black/white level mapping for luma (warpFrameKernel.cl:1-3).
+
+    The reference computes (v-black)/(white-black)*255 in device float32 and
+    truncates to uchar.  OpenCL permits 2.5 ulp error on division, and the
+    exact results land on integer boundaries (e.g. the identity mapping),
+    so the reference's own output is GPU-dependent at those pixels.  This
+    framework defines the semantics as the EXACT rational result truncated
+    toward zero (levels are integers in the applet protocol,
+    vf_HopperRender.c:173-176), evaluated in integer arithmetic -- stable
+    across TPU/CPU and within 1 LSB of any conforming OpenCL device."""
+    v = np.asarray(value, np.int64)
+    k = int(round(black))
+    w = int(round(white))
+    n = np.maximum((v - k) * 255, 0)
+    return np.clip(n // max(w - k, 1), 0, 255)
 
 
 def _apply_levels_uv(value, white):
-    """warpFrameKernel.cl:5-7."""
-    return np.trunc(_clampf((value - 128.0) / white * 255.0 + 128.0, 0.0, 255.0)).astype(np.int64)
+    """Chroma level mapping (warpFrameKernel.cl:5-7): exact rational
+    truncation of (v-128)/white*255+128 = ((v-128)*255 + 128*white)/white."""
+    v = np.asarray(value, np.int64)
+    w = max(int(round(white)), 1)
+    n = np.maximum((v - 128) * 255 + 128 * w, 0)
+    return np.clip(n // w, 0, 255)
 
 
 def warp_frame(
@@ -454,22 +471,45 @@ def warp_frame(
         elif frame_output_mode == WARPED_FRAME_21:
             val = s21
         else:
-            # BlendedFrame / HSVFlow / SideBySide right halves (cl:174-181)
-            blended = np.trunc(s12.astype(np.float32) * fs21 + s21.astype(np.float32) * fs12).astype(np.int64)
-            blended = np.clip(blended, 0, 255)  # uchar conversion of in-range blend
+            # BlendedFrame / HSVFlow / SideBySide right halves (cl:174-181);
+            # fixed-point semantics, see blend_weights()
+            w1, w2 = blend_weights(blending_scalar)
+            blended = _blend(s12, s21, w1, w2)
             if frame_output_mode == HSV_FLOW:
                 res_impact = 4 if res_scalar <= 2 else 1
                 channel = np.full(cy.shape, cz, np.int64) + (cx & 1 if cz else 0)
                 blended = _visualize_flow(-off_x12, -off_y12, blended, channel, res_impact)
             if cz:
-                val = _apply_levels_uv(blended.astype(np.float64), white_level)
+                val = _apply_levels_uv(blended, white_level)
             else:
-                val = _apply_levels_y(blended.astype(np.float64), black_level, white_level)
+                val = _apply_levels_y(blended, black_level, white_level)
 
         val = np.where(forced >= 0, forced, val)
         _write_plane(out_y, out_uv, cz, cy, cx, val)
 
     return out_y, out_uv
+
+
+BLEND_FRACTION_BITS = 24
+
+
+def blend_weights(blending_scalar: float, frac_bits: int = BLEND_FRACTION_BITS):
+    """Fixed-point blend weights.
+
+    The reference blends in device float32 (warpFrameKernel.cl:175-176),
+    where the compiler is free to contract the mul-add into an FMA --
+    making the uchar truncation GPU-dependent at near-integer results.
+    The framework defines the blend as exact fixed-point arithmetic:
+      out = (s12*(2^24 - T) + s21*T) >> 24,  T = round(t32 * 2^24)
+    which is within 1 LSB of any conforming OpenCL device."""
+    t32 = np.float32(blending_scalar)
+    T = int(np.round(t32 * np.float32(1 << frac_bits)))
+    T = min(max(T, 0), 1 << frac_bits)
+    return (1 << frac_bits) - T, T
+
+
+def _blend(s12, s21, w1: int, w2: int, frac_bits: int = BLEND_FRACTION_BITS):
+    return (np.asarray(s12, np.int64) * w1 + np.asarray(s21, np.int64) * w2) >> frac_bits
 
 
 def _write_plane(out_y, out_uv, cz, cy, cx, val):

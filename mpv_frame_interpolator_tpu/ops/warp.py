@@ -86,21 +86,47 @@ def _upsample_uv(geom: FlowGeometry, plane):
     return sub[:geom.height // 2, :geom.actual_width]
 
 
-def _apply_levels_y(v, black, white, peak_f, down):
-    out = (v * down - black) / (white - black) * 255.0
-    return jnp.clip(out, 0.0, 255.0)
+def _blend_fix(s12, s21, t, scale_shift: int):
+    """Fixed-point bidirectional blend (see ops/oracle.blend_weights for the
+    semantics rationale: the reference's f32 mul-add truncation is
+    FMA/GPU-dependent; this is exact and platform-stable).
+
+    frac bits: 24 for 8-bit samples, 16 for 16-bit so the weighted sum fits
+    uint32.  t is the traced blendingScalar (frameScalar12)."""
+    frac = 24 - (8 if scale_shift else 0)
+    T = jnp.clip(jnp.round(t * (1 << frac)), 0, 1 << frac).astype(jnp.uint32)
+    w1 = jnp.uint32(1 << frac) - T
+    acc = s12.astype(jnp.uint32) * w1 + s21.astype(jnp.uint32) * T
+    return (acc >> frac).astype(jnp.int32)
 
 
-def _apply_levels_uv(v, white, peak_f, down):
-    out = (v * down - 128.0) / white * 255.0 + 128.0
-    return jnp.clip(out, 0.0, 255.0)
+def _levels_y(b_int, black, white, scale_shift: int):
+    """Exact-integer luma level mapping; see ops/oracle._apply_levels_y for
+    the semantics rationale (stable vs TPU's approximate f32 division).
+
+    b_int is the blended sample in device scale (8-bit: 0..255, P010-style:
+    0..65535); black/white are traced floats on the 8-bit scale."""
+    k = jnp.round(black).astype(jnp.int32)
+    w = jnp.round(white).astype(jnp.int32)
+    d = jnp.maximum(w - k, 1)
+    n = jnp.maximum((b_int - (k << scale_shift)) * 255, 0)
+    return jnp.minimum(jax.lax.div(n, d), 255 << scale_shift)
+
+
+def _levels_uv(b_int, white, scale_shift: int):
+    """Exact-integer chroma level mapping (oracle._apply_levels_uv)."""
+    w = jnp.maximum(jnp.round(white).astype(jnp.int32), 1)
+    m = 128 << scale_shift
+    n = jnp.maximum((b_int - m) * 255 + m * w, 0)
+    return jnp.minimum(jax.lax.div(n, w), 255 << scale_shift)
 
 
 def _visualize_flow(off_x, off_y, curr_8, channel: int, res_impact: int):
     """visualizeFlow (warpFrameKernel.cl:21-111) for one plane.
 
-    off_x/off_y int32 (already negated by caller), curr_8 float in 8-bit
-    scale, channel: 0=Y, 1=U, 2=V (constant per plane in planar layout)."""
+    off_x/off_y int32 (already negated by caller), curr_8 int32 in 8-bit
+    scale, channel: 0=Y, 1=U, 2=V (constant per plane in planar layout).
+    Returns int32 in [0, 255]."""
     zero_flow = (jnp.abs(off_x) < 1) & (jnp.abs(off_y) < 1)
     fx = off_x.astype(jnp.float32)
     fy = off_y.astype(jnp.float32)
@@ -140,10 +166,12 @@ def _visualize_flow(off_x, off_y, curr_8, channel: int, res_impact: int):
 
     if channel == 0:
         lum = jnp.trunc(jnp.clip(r * 0.299 + g * 0.587 + b * 0.114, 0.0, 255.0))
-        return (lum.astype(jnp.int32) >> 1).astype(jnp.float32) + jnp.trunc(curr_8 / 2.0)
+        return (lum.astype(jnp.int32) >> 1) + (curr_8 >> 1)
     if channel == 1:
-        return jnp.trunc(jnp.clip(r * -0.168736 + g * -0.331264 + b * 0.5 + 128.0, 0.0, 255.0))
-    return jnp.trunc(jnp.clip(r * 0.5 + g * -0.418688 + b * -0.081312 + 128.0, 0.0, 255.0))
+        return jnp.trunc(jnp.clip(r * -0.168736 + g * -0.331264 + b * 0.5 + 128.0,
+                                  0.0, 255.0)).astype(jnp.int32)
+    return jnp.trunc(jnp.clip(r * 0.5 + g * -0.418688 + b * -0.081312 + 128.0,
+                              0.0, 255.0)).astype(jnp.int32)
 
 
 def _warp_impl(geom: FlowGeometry, mode: int, scale_shift: int, dtype,
@@ -152,10 +180,6 @@ def _warp_impl(geom: FlowGeometry, mode: int, scale_shift: int, dtype,
     H, Wa, rs = geom.height, geom.actual_width, geom.res_scalar
     fs12 = t.astype(jnp.float32)
     fs21 = (1.0 - t).astype(jnp.float32)
-    peak_f = np.float32(255.0 * (1 << scale_shift) + (255.0 if scale_shift else 0.0))
-    peak_i = (1 << (8 + scale_shift)) - 1          # 255 or 65535
-    down = np.float32(1.0 / (1 << scale_shift))    # to 8-bit scale
-    up = np.float32(1 << scale_shift)
     mid = 128 << scale_shift
 
     if mode in (SIDE_BY_SIDE_1, SIDE_BY_SIDE_2):
@@ -189,14 +213,14 @@ def _warp_impl(geom: FlowGeometry, mode: int, scale_shift: int, dtype,
     elif mode == WARPED_FRAME_21:
         out_y = _gather(f2y, ncy21, ncx21)
     else:
-        s12 = _gather(f1y, ncy12, ncx12).astype(jnp.float32)
-        s21 = _gather(f2y, ncy21, ncx21).astype(jnp.float32)
-        blended = jnp.trunc(s12 * fs21 + s21 * fs12)
+        s12 = _gather(f1y, ncy12, ncx12)
+        s21 = _gather(f2y, ncy21, ncx21)
+        blended = _blend_fix(s12, s21, fs12, scale_shift)
         if mode == HSV_FLOW:
             res_impact = 4 if rs <= 2 else 1
-            blended = _visualize_flow(-OX12, -OY12, blended * down, 0, res_impact) * up
-        out_y = jnp.trunc(_apply_levels_y(blended, black, white, peak_f, down) * up)
-        out_y = jnp.clip(out_y, 0, peak_i)
+            b8 = (blended >> scale_shift) if scale_shift else blended
+            blended = _visualize_flow(-OX12, -OY12, b8, 0, res_impact) << scale_shift
+        out_y = _levels_y(blended, black, white, scale_shift)
     out_y = out_y.astype(dtype)
 
     # ---------------- chroma pass (cz = 1) ----------------
@@ -224,16 +248,20 @@ def _warp_impl(geom: FlowGeometry, mode: int, scale_shift: int, dtype,
         out_u = samp(f2u, ncy21, ncx21, 0)
         out_v = samp(f2v, ncy21, ncx21, 1)
     else:
-        bu = jnp.trunc(samp(f1u, ncy12, ncx12, 0).astype(jnp.float32) * fs21
-                       + samp(f2u, ncy21, ncx21, 0).astype(jnp.float32) * fs12)
-        bv = jnp.trunc(samp(f1v, ncy12, ncx12, 1).astype(jnp.float32) * fs21
-                       + samp(f2v, ncy21, ncx21, 1).astype(jnp.float32) * fs12)
+        bu = _blend_fix(samp(f1u, ncy12, ncx12, 0),
+                        samp(f2u, ncy21, ncx21, 0), fs12, scale_shift)
+        bv = _blend_fix(samp(f1v, ncy12, ncx12, 1),
+                        samp(f2v, ncy21, ncx21, 1), fs12, scale_shift)
         if mode == HSV_FLOW:
             res_impact = 4 if rs <= 2 else 1
-            bu = _visualize_flow(-OX12c[:, 0::2], -OY12c[:, 0::2], bu * down, 1, res_impact) * up
-            bv = _visualize_flow(-OX12c[:, 1::2], -OY12c[:, 1::2], bv * down, 2, res_impact) * up
-        out_u = jnp.clip(jnp.trunc(_apply_levels_uv(bu, white, peak_f, down) * up), 0, peak_i)
-        out_v = jnp.clip(jnp.trunc(_apply_levels_uv(bv, white, peak_f, down) * up), 0, peak_i)
+            bu8 = (bu >> scale_shift) if scale_shift else bu
+            bv8 = (bv >> scale_shift) if scale_shift else bv
+            bu = _visualize_flow(-OX12c[:, 0::2], -OY12c[:, 0::2], bu8, 1,
+                                 res_impact) << scale_shift
+            bv = _visualize_flow(-OX12c[:, 1::2], -OY12c[:, 1::2], bv8, 2,
+                                 res_impact) << scale_shift
+        out_u = _levels_uv(bu, white, scale_shift)
+        out_v = _levels_uv(bv, white, scale_shift)
     return out_y, out_u.astype(dtype), out_v.astype(dtype)
 
 
@@ -245,11 +273,7 @@ def _warp_sbs(geom, mode, scale_shift, dtype,
     H, Wa, rs = geom.height, geom.actual_width, geom.res_scalar
     W = geom.stride
     lh, lw = geom.low_h, geom.low_w
-    down = np.float32(1.0 / (1 << scale_shift))
-    up = np.float32(1 << scale_shift)
-    peak_i = (1 << (8 + scale_shift)) - 1
     mid = 128 << scale_shift
-    peak_f = np.float32(peak_i)
 
     outs = []
     for cz in (0, 1):
@@ -311,14 +335,13 @@ def _warp_sbs(geom, mode, scale_shift, dtype,
             sx21 = (ncx21 & ~1) + (cxg & 1)
         else:
             sx12, sx21 = ncx12, ncx21
-        s12 = fetch(f1y, f1u, f1v, ncy12, sx12).astype(jnp.float32)
-        s21 = fetch(f2y, f2u, f2v, ncy21, sx21).astype(jnp.float32)
-        blended = jnp.trunc(s12 * fs21 + s21 * fs12)
+        s12 = fetch(f1y, f1u, f1v, ncy12, sx12)
+        s21 = fetch(f2y, f2u, f2v, ncy21, sx21)
+        blended = _blend_fix(s12, s21, fs12, scale_shift)
         if cz:
-            val = jnp.trunc(_apply_levels_uv(blended, white, peak_f, down) * up)
+            val = _levels_uv(blended, white, scale_shift)
         else:
-            val = jnp.trunc(_apply_levels_y(blended, black, white, peak_f, down) * up)
-        val = jnp.clip(val, 0, peak_i).astype(jnp.int32)
+            val = _levels_y(blended, black, white, scale_shift)
         val = jnp.where(forced_mask, forced_val, val)
         outs.append(val)
 

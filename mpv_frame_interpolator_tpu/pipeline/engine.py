@@ -1,0 +1,310 @@
+"""InterpolationEngine: the device-side heart of the pipeline.
+
+Plays the role of vf_HopperRender's process() + the OpticalFlowCalc host
+driver (vf_HopperRender.c:512-533, opticalFlowCalc.c), re-imagined for XLA:
+
+* push(frame) takes one decoded source frame and returns ALL output frames
+  due for it (the reference trickles intermediates through repeated filter
+  invocations; a pull-based Python pipeline doesn't need that).
+* Device state is a pair of planar frame pytrees (ping-pong by rebinding,
+  the XLA analog of the cl_mem swap in opticalFlowCalc.c:102-106).
+* Flow runs once per source pair; each output frame is one fused warp
+  dispatch.  Everything stays on device until the sink downloads.
+* Scene-cut handling is branchless-on-host: the cut decision is a traced
+  scalar folded into the warp (flow zeroed, blend snapped), so no device
+  sync is needed on the hot path.
+* The quality controller is fed the measured flow+warp wall time of the
+  previous source frame, mirroring the OpenCL event timing loop
+  (opticalFlowCalc.c:111-122,192-201 -> vf_HopperRender.c:326-345).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpv_frame_interpolator_tpu.frame import (
+    FrameFormat, VideoFrame, NV12, P010, split_chroma)
+from mpv_frame_interpolator_tpu.ops.flow import FlowGeometry, make_flow_fn
+from mpv_frame_interpolator_tpu.ops import warp as warp_ops
+from mpv_frame_interpolator_tpu.pipeline.cadence import (
+    CadenceEngine, InterpolationState)
+from mpv_frame_interpolator_tpu.pipeline.quality import QualityController
+from mpv_frame_interpolator_tpu.pipeline.scene import SceneChangeDetector
+from mpv_frame_interpolator_tpu.utils import get_logger, StatsRegistry
+
+log = get_logger("engine")
+
+
+@dataclasses.dataclass
+class EngineConfig:
+    display_fps: float = 60.0
+    frame_output_mode: int = warp_ops.BLENDED_FRAME  # FrameOutput default 2
+                                                     # (vf_HopperRender.c:716)
+    auto_quality: bool = True                        # config.h:10
+    initial_search_radius: int = 5                   # MIN_SEARCH_RADIUS
+    scene_detection: bool = True
+    scene_threshold: float = 28.0
+    cut_policy: str = "nearest"                      # "nearest" | "hold"
+    delta_scalar: int = 8                            # opticalFlowCalc.c:339
+    neighbor_bias_scalar: int = 6                    # opticalFlowCalc.c:340
+    black_level: float = 0.0                         # opticalFlowCalc.c:328
+    white_level: float = 255.0                       # opticalFlowCalc.c:329
+    max_calc_res: int = 270                          # config.h:2
+    num_iterations: int = 0                          # config.h:4
+    measure_timing: bool = True                      # feed quality controller
+    playback_speed: float = 1.0
+    precompile: bool = False         # compile all search radii at init
+    compilation_cache_dir: str = ""  # persistent jit cache ("" = disabled)
+
+
+class OutputFrame:
+    """A produced frame; planes may live on device until materialized."""
+
+    __slots__ = ("pts", "fmt", "_y", "_uv", "_host")
+
+    def __init__(self, pts: float, fmt: FrameFormat, y, uv, host: bool):
+        self.pts = pts
+        self.fmt = fmt
+        self._y = y
+        self._uv = uv
+        self._host = host
+
+    def block(self):
+        if not self._host:
+            jax.block_until_ready(self._uv)
+        return self
+
+    def to_video_frame(self) -> VideoFrame:
+        y = np.asarray(self._y)
+        uv = np.asarray(self._uv)
+        return VideoFrame(y, uv, self.fmt, pts=self.pts)
+
+
+@dataclasses.dataclass
+class _DeviceFrame:
+    y: jax.Array
+    u: jax.Array
+    v: jax.Array
+
+
+@functools.lru_cache(maxsize=64)
+def _make_warp_step(geom: FlowGeometry, mode: int, scale_shift: int,
+                    cut_policy: str):
+    """Fused warp dispatch: scene-cut folding + warp + NV12 re-interleave."""
+    base = warp_ops._warp_impl  # noqa: SLF001 - same package
+    dtype = jnp.uint16 if scale_shift else jnp.uint8
+
+    def step(f1y, f1u, f1v, f2y, f2u, f2v, blurred, t, black, white, cut):
+        blurred = jnp.where(cut, jnp.zeros_like(blurred), blurred)
+        if cut_policy == "nearest":
+            t_cut = jnp.where(t >= 0.5, 1.0, 0.0).astype(jnp.float32)
+        else:  # hold the previous frame
+            t_cut = jnp.float32(0.0)
+        t = jnp.where(cut, t_cut, t)
+        y, u, v = base(geom, mode, scale_shift, dtype,
+                       f1y, f1u, f1v, f2y, f2u, f2v, blurred, t, black, white)
+        uv = jnp.stack((u, v), axis=2).reshape(u.shape[0], u.shape[1] * 2)
+        return y, uv
+
+    return jax.jit(step)
+
+
+class InterpolationEngine:
+    def __init__(self, config: Optional[EngineConfig] = None):
+        self.config = config or EngineConfig()
+        self.cadence = CadenceEngine(self.config.display_fps,
+                                     self.config.playback_speed)
+        self.quality = QualityController(
+            enabled=self.config.auto_quality,
+            search_radius=self.config.initial_search_radius)
+        self.scene = SceneChangeDetector(
+            enabled=self.config.scene_detection,
+            threshold=self.config.scene_threshold)
+        self.stats = StatsRegistry()
+        self.frame_output_mode = self.config.frame_output_mode
+        self.black_level = self.config.black_level
+        self.white_level = self.config.white_level
+        self.delta_scalar = self.config.delta_scalar
+        self.neighbor_bias_scalar = self.config.neighbor_bias_scalar
+
+        self.geom: Optional[FlowGeometry] = None
+        self._scale_shift = 0
+        self._fmt: Optional[FrameFormat] = None
+        self._prev: Optional[_DeviceFrame] = None
+        self._cur: Optional[_DeviceFrame] = None
+        self._last_calc_duration = 0.0
+        self._blurred = None
+        self._last_cut_score = None
+        self._warm = set()           # (radius, mode) specializations executed
+        if self.config.compilation_cache_dir:
+            import jax as _jax
+            _jax.config.update("jax_compilation_cache_dir",
+                               self.config.compilation_cache_dir)
+
+    # ------------------------------------------------------------------ #
+
+    def set_speed(self, speed: float):
+        self.cadence.set_speed(speed)
+
+    def reset(self):
+        """Seek reset (vf_HopperRender.c:562-567): counters only; device
+        buffers are re-anchored by the next two source frames."""
+        self.cadence.reset()
+        self._prev = None
+        self._cur = None
+
+    def _ensure_geometry(self, frame: VideoFrame):
+        fmt = frame.fmt
+        if self._fmt is not None and (fmt.height, fmt.stride, fmt.width,
+                                      fmt.pixfmt) == (
+                self._fmt.height, self._fmt.stride, self._fmt.width,
+                self._fmt.pixfmt):
+            return
+        # lazy init, like vf_HopperRender.c:445-447
+        self.geom = FlowGeometry.create(fmt.height, fmt.stride, fmt.width,
+                                        self.config.max_calc_res,
+                                        self.config.num_iterations)
+        self._scale_shift = 0 if fmt.pixfmt == NV12 else 8
+        self._fmt = fmt
+        self._prev = None
+        self._cur = None
+        self._warm = set()
+        self.cadence.reset()
+        log.info("flow geometry: %s (pixfmt=%s)", self.geom, fmt.pixfmt)
+        if self.config.precompile:
+            self._precompile()
+
+    def _precompile(self):
+        """Compile every search-radius specialization up front so the
+        quality controller never observes compile time (the reference
+        builds its kernels once at init, opticalFlowCalc.c:404-408)."""
+        import numpy as _np
+        h, w = self.geom.height, self.geom.stride
+        dt = _np.uint16 if self._scale_shift else _np.uint8
+        zy = jnp.zeros((h, w), dt)
+        zc = jnp.zeros((h // 2, w // 2), dt)
+        t0 = time.perf_counter()
+        for radius in range(self.quality.min_radius,
+                            self.quality.max_radius + 1):
+            fn = make_flow_fn(self.geom, radius, self._scale_shift)
+            _, blurred = fn(zy, zc, zc, zy, zc, zc, jnp.int32(8), jnp.int32(6))
+            self._warm.add((radius, -1))
+        warp_step = _make_warp_step(self.geom, self.frame_output_mode,
+                                    self._scale_shift, self.config.cut_policy)
+        y, _ = warp_step(zy, zc, zc, zy, zc, zc, blurred, jnp.float32(0.5),
+                         jnp.float32(0.0), jnp.float32(255.0),
+                         jnp.asarray(False))
+        jax.block_until_ready(y)
+        for radius in range(self.quality.min_radius,
+                            self.quality.max_radius + 1):
+            self._warm.add((radius, self.frame_output_mode))
+        log.info("precompiled %d flow radii + warp in %.1fs",
+                 self.quality.max_radius - self.quality.min_radius + 1,
+                 time.perf_counter() - t0)
+
+    def _upload(self, frame: VideoFrame) -> _DeviceFrame:
+        u, v = split_chroma(frame.uv)
+        return _DeviceFrame(jnp.asarray(frame.y), jnp.asarray(u),
+                            jnp.asarray(v))
+
+    def _out_fmt(self) -> FrameFormat:
+        return FrameFormat(self.geom.actual_width, self.geom.height,
+                           self._fmt.pixfmt)
+
+    # ------------------------------------------------------------------ #
+
+    def push(self, frame: VideoFrame) -> List[OutputFrame]:
+        """Process one source frame; returns the output frames due."""
+        self._ensure_geometry(frame)
+        plan = self.cadence.on_source_frame(frame.pts, frame.nominal_fps)
+        if plan.inconsistent_detected:
+            log.warning("Inconsistent frame timings detected. Using less "
+                        "accurate frame timing method to maintain A/V sync.")
+
+        if plan.passthrough:
+            if self.cadence.state == InterpolationState.ACTIVE \
+                    and self.cadence.source_frame_num == 1:
+                # first frame: keep it as the flow anchor
+                self._prev = self._cur
+                self._cur = self._upload(frame)
+            return [OutputFrame(frame.pts, frame.fmt, frame.y, frame.uv,
+                                host=True)]
+
+        # quality controller runs on the previous frame's measured duration
+        # (ordering per vf_HopperRender.c:484 before the new calc)
+        self.quality.update(self._last_calc_duration, self.cadence)
+
+        spec_key = (self.quality.search_radius, self.frame_output_mode)
+        was_warm = spec_key in self._warm
+
+        t0 = time.perf_counter()
+        self._prev = self._cur
+        self._cur = self._upload(frame)
+        f1, f2 = self._prev, self._cur
+
+        # scene-change score at flow resolution (device scalar, no host sync;
+        # score() shifts P010 samples down to the 8-bit scale)
+        if self.scene.enabled:
+            s = 1 << self.geom.res_scalar
+            cut_score = self.scene.score(f1.y[::s, ::s], f2.y[::s, ::s],
+                                         bit_shift=self._scale_shift)
+            cut = cut_score > self.scene.threshold
+            self._last_cut_score = cut_score
+        else:
+            cut = jnp.asarray(False)
+
+        flow_fn = make_flow_fn(self.geom, self.quality.search_radius,
+                               self._scale_shift)
+        offset, blurred = flow_fn(
+            f1.y, f1.u, f1.v, f2.y, f2.u, f2.v,
+            jnp.int32(self.delta_scalar), jnp.int32(self.neighbor_bias_scalar))
+        self._blurred = blurred
+        t_flow_end = None
+        if self.config.measure_timing and was_warm:
+            # one extra sync point so the flow/warp split feeds telemetry,
+            # like the reference's OFC event timing (opticalFlowCalc.c:192-201)
+            jax.block_until_ready(blurred)
+            t_flow_end = time.perf_counter()
+            self.stats.add("flow_time", t_flow_end - t0)
+
+        warp_step = _make_warp_step(self.geom, self.frame_output_mode,
+                                    self._scale_shift, self.config.cut_policy)
+        out_fmt = self._out_fmt()
+        outputs: List[OutputFrame] = []
+        for slot in plan.outputs:
+            y, uv = warp_step(f1.y, f1.u, f1.v, f2.y, f2.u, f2.v, blurred,
+                              jnp.float32(slot.blend),
+                              jnp.float32(self.black_level),
+                              jnp.float32(self.white_level), cut)
+            outputs.append(OutputFrame(slot.pts, out_fmt, y, uv, host=False))
+
+        if self.config.measure_timing and outputs:
+            outputs[-1].block()
+            now = time.perf_counter()
+            dur = now - t0
+            if was_warm:
+                self._last_calc_duration = dur
+                self.stats.add("source_frame_time", dur)
+                if t_flow_end is not None:
+                    warp_total = now - t_flow_end
+                    self.stats.add("warp_total", warp_total)
+                    self.stats.add("warp_time", warp_total / len(outputs))
+            else:
+                # compile happened inside: not a compute-time measurement
+                self._last_calc_duration = 0.0
+            self.stats.add("outputs", len(outputs))
+        self._warm.add(spec_key)
+        return outputs
+
+    # telemetry used by the control surface / applet protocol
+    def last_cut_score(self) -> float:
+        if self._last_cut_score is None:
+            return 0.0
+        return float(self._last_cut_score)

@@ -1,0 +1,126 @@
+"""Pipeline orchestrator: source -> prefetch -> engine -> present -> sink.
+
+The rebuild's playloop (player/playloop.c:1251 analog), with the reference's
+thread topology mapped to a TPU host:
+
+* a reader thread + bounded queue stands in for the demux thread + packet
+  cache (demux/demux.c:2549,1187) -- host decode overlaps device compute;
+* the engine dispatches device work asynchronously; the present step is the
+  single sync point per output frame (the reference's blocking
+  downloadFrame, opticalFlowCalc.c:109-124, hit once per output);
+* commands (speed/seek) are applied between source frames, like
+  mp_output_chain_command routing into the filter
+  (vf_HopperRender.c:541-555).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterable, Iterator, Optional
+
+from mpv_frame_interpolator_tpu.frame import VideoFrame
+from mpv_frame_interpolator_tpu.pipeline.engine import (
+    InterpolationEngine, OutputFrame)
+from mpv_frame_interpolator_tpu.pipeline.present import PresentClock
+from mpv_frame_interpolator_tpu.utils import get_logger
+
+log = get_logger("player")
+
+_EOF = object()
+
+
+class _Prefetcher:
+    """Reader thread + bounded frame queue (demux-thread analog)."""
+
+    def __init__(self, source: Iterable[VideoFrame], depth: int = 4):
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._thread = threading.Thread(target=self._run, args=(source,),
+                                        daemon=True)
+        self._stop = threading.Event()
+        self._thread.start()
+
+    def _run(self, source):
+        try:
+            for frame in source:
+                if self._stop.is_set():
+                    break
+                self._q.put(frame)
+        except Exception as e:   # surface decode errors at the consumer
+            self._q.put(e)
+        finally:
+            self._q.put(_EOF)
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is _EOF:
+                return
+            if isinstance(item, Exception):
+                raise item
+            yield item
+
+    def stop(self):
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+
+
+class Pipeline:
+    def __init__(self, source: Iterable[VideoFrame],
+                 engine: InterpolationEngine, sink,
+                 present: Optional[PresentClock] = None,
+                 prefetch: int = 4):
+        self.source = source
+        self.engine = engine
+        self.sink = sink
+        self.present = present
+        self.prefetch = prefetch
+        self.frames_in = 0
+        self.frames_out = 0
+        self._commands: "queue.Queue" = queue.Queue()
+
+    # -- runtime command surface (mp_filter_command analog) --------------
+
+    def set_speed(self, speed: float):
+        self._commands.put(("speed", speed))
+
+    def seek_reset(self):
+        self._commands.put(("reset", None))
+
+    def _apply_commands(self):
+        try:
+            while True:
+                cmd, arg = self._commands.get_nowait()
+                if cmd == "speed":
+                    self.engine.set_speed(arg)
+                elif cmd == "reset":
+                    self.engine.reset()
+                    if self.present:
+                        self.present.reset()
+        except queue.Empty:
+            pass
+
+    def run(self, max_source_frames: Optional[int] = None):
+        reader = _Prefetcher(self.source, self.prefetch)
+        try:
+            for frame in reader:
+                self._apply_commands()
+                outs = self.engine.push(frame)
+                self.frames_in += 1
+                for out in outs:
+                    if self.present is not None:
+                        info = self.present.present(out.pts)
+                        if info.dropped:
+                            continue
+                    self.sink.write(out)
+                    self.frames_out += 1
+                if max_source_frames and self.frames_in >= max_source_frames:
+                    break
+        finally:
+            reader.stop()
+            self.sink.close()
+        return self.frames_out

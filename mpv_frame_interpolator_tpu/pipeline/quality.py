@@ -1,0 +1,50 @@
+"""Auto quality-scaling controller.
+
+Reproduces vf_HopperRender_auto_adjust_settings (vf_HopperRender.c:304-349)
+with the thresholds from config.h:6-13: if the measured per-source-frame
+compute time (flow calc + all warps) exceeds sourceFrameTime/UPPER_PERF_BUFFER
+the search radius is decremented (floor MIN_SEARCH_RADIUS, then the filter
+declares itself TooSlow); with headroom beyond LOWER_PERF_BUFFER it is
+incremented back up to MAX_SEARCH_RADIUS."""
+
+from __future__ import annotations
+
+import dataclasses
+
+from mpv_frame_interpolator_tpu.pipeline.cadence import CadenceEngine
+
+MIN_SEARCH_RADIUS = 5      # config.h:6
+MAX_SEARCH_RADIUS = 16     # config.h:7
+UPPER_PERF_BUFFER = 1.4    # config.h:12
+LOWER_PERF_BUFFER = 1.6    # config.h:13
+
+
+@dataclasses.dataclass
+class QualityController:
+    enabled: bool = True                       # config.h:10
+    search_radius: int = MIN_SEARCH_RADIUS     # opticalFlowCalc.c:330
+    min_radius: int = MIN_SEARCH_RADIUS
+    max_radius: int = MAX_SEARCH_RADIUS
+    upper_buffer: float = UPPER_PERF_BUFFER
+    lower_buffer: float = LOWER_PERF_BUFFER
+
+    def update(self, calc_duration: float, cadence: CadenceEngine):
+        """Feed the measured flow+warp duration for the previous source
+        frame; possibly adjusts radius or flips the cadence state to
+        TooSlow (vf_HopperRender.c:326-345).
+
+        calc_duration <= 0 means "no valid measurement" (e.g. the previous
+        frame triggered a jit compile, which must not count as compute
+        time -- the reference compiles its CL kernels once at init and
+        never hits this)."""
+        if not self.enabled or calc_duration <= 0.0:
+            return
+        sft = cadence.source_frame_time
+        if calc_duration * self.upper_buffer > sft:
+            if self.search_radius > self.min_radius:
+                self.search_radius -= 1
+            else:
+                cadence.mark_too_slow()
+        elif calc_duration * self.lower_buffer < sft:
+            if self.search_radius < self.max_radius:
+                self.search_radius += 1

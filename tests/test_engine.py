@@ -1,0 +1,135 @@
+"""End-to-end InterpolationEngine tests: cadence + flow + warp on CPU."""
+
+import numpy as np
+import pytest
+
+from mpv_frame_interpolator_tpu.frame import FrameFormat, VideoFrame, psnr_arrays
+from mpv_frame_interpolator_tpu.io import synthetic
+from mpv_frame_interpolator_tpu.ops import oracle
+from mpv_frame_interpolator_tpu.ops.flow import FlowGeometry
+from mpv_frame_interpolator_tpu.pipeline.engine import (
+    EngineConfig, InterpolationEngine)
+from mpv_frame_interpolator_tpu.pipeline.cadence import InterpolationState
+
+
+def make_engine(**kw):
+    kw.setdefault("scene_detection", False)
+    kw.setdefault("auto_quality", False)
+    kw.setdefault("measure_timing", False)
+    return InterpolationEngine(EngineConfig(**kw))
+
+
+def run(engine, frames):
+    outs = []
+    for f in frames:
+        outs.extend(engine.push(f))
+    return outs
+
+
+class TestEngineE2E:
+    def test_24_to_60_output_count_and_pts(self, small_cfg):
+        eng = make_engine()
+        frames = list(synthetic.moving_box(small_cfg, 5))
+        outs = run(eng, frames)
+        # 1 passthrough + 3+2+3+2 warps
+        assert len(outs) == 11
+        pts = [o.pts for o in outs]
+        assert pts == sorted(pts)
+        # outputs after the anchor step at 1/60
+        steps = np.diff(pts[1:])
+        np.testing.assert_allclose(steps, 1 / 60, atol=1e-9)
+
+    def test_oracle_parity_full_pipeline(self, small_cfg):
+        """The engine's warped outputs must match an oracle-driven
+        simulation of the reference pipeline bit-exactly."""
+        eng = make_engine()
+        frames = list(synthetic.moving_box(small_cfg, 4))
+        outs = run(eng, frames)
+
+        geom = FlowGeometry.create(frames[0].fmt.height,
+                                   frames[0].fmt.stride,
+                                   frames[0].fmt.width)
+        # simulate: for each consecutive pair, oracle flow + warps at the
+        # cadence blend values (3 outputs then 2, starting at b=0)
+        blends = [[0.0, 0.4, 0.8], [0.2, 0.6], [0.0, 0.4, 0.8]]
+        k = 1  # outs[0] is the passthrough first frame
+        assert np.array_equal(outs[0].to_video_frame().y, frames[0].y)
+        for i, bl in enumerate(blends):
+            f1, f2 = frames[i], frames[i + 1]
+            _, blur = oracle.calculate_optical_flow(
+                f1.y, f1.uv, f2.y, f2.uv, search_radius=5,
+                res_scalar=geom.res_scalar, lh=geom.low_h, lw=geom.low_w)
+            for t in bl:
+                ry, ruv = oracle.warp_frame(
+                    f1.y, f1.uv, f2.y, f2.uv, blur, t,
+                    oracle.BLENDED_FRAME, geom.res_scalar, geom.actual_width)
+                got = outs[k].to_video_frame()
+                np.testing.assert_array_equal(ry, got.y, err_msg=f"pair {i} t={t}")
+                np.testing.assert_array_equal(ruv, got.uv, err_msg=f"pair {i} t={t}")
+                k += 1
+        assert k == len(outs)
+
+    def test_bypass_high_fps(self, small_cfg):
+        eng = make_engine()
+        cfg60 = synthetic.SyntheticConfig(width=64, height=48, fps=60.0)
+        outs = run(eng, list(synthetic.moving_box(cfg60, 3)))
+        assert len(outs) == 3  # passthrough every frame
+        assert eng.cadence.state == InterpolationState.NOT_NEEDED
+
+    def test_seek_reset_reanchors(self, small_cfg):
+        eng = make_engine()
+        frames = list(synthetic.moving_box(small_cfg, 3))
+        run(eng, frames)
+        eng.reset()
+        far = [f.with_pts(f.pts + 100.0) for f in
+               synthetic.moving_box(small_cfg, 3)]
+        for f in far:
+            f.nominal_fps = 24.0
+        outs2 = run(eng, far)
+        assert outs2[0].pts == pytest.approx(100.0)
+
+    def test_scene_cut_snaps_instead_of_blending(self, small_cfg):
+        eng = make_engine(scene_detection=True, scene_threshold=28.0)
+        frames = list(synthetic.scene_cut(small_cfg, 6, cut_at=3))
+        outs = run(eng, frames)
+        # engine still produces the cadence count
+        assert len(outs) == 1 + 3 + 2 + 3 + 2 + 3
+        # outputs for the cut pair (frames[2] -> frames[3], b = 0.0,0.4,0.8)
+        # must equal zero-flow warps snapped to nearest source, not blends
+        geom = FlowGeometry.create(frames[0].fmt.height,
+                                   frames[0].fmt.stride, frames[0].fmt.width)
+        zero_flow = np.zeros((2, geom.low_h, geom.low_w), np.int16)
+        cut_outs = outs[6:9]
+        for t, o in zip([0.0, 0.4, 0.8], cut_outs):
+            t_snap = 1.0 if t >= 0.5 else 0.0
+            ry, ruv = oracle.warp_frame(
+                frames[2].y, frames[2].uv, frames[3].y, frames[3].uv,
+                zero_flow, t_snap, oracle.BLENDED_FRAME,
+                geom.res_scalar, geom.actual_width)
+            got = o.to_video_frame()
+            np.testing.assert_array_equal(ry, got.y)
+
+    def test_p010_pipeline(self):
+        cfg = synthetic.SyntheticConfig(width=64, height=48, fps=24.0,
+                                        pixfmt="p010")
+        eng = make_engine()
+        outs = run(eng, list(synthetic.moving_box(cfg, 3)))
+        assert len(outs) == 1 + 3 + 2
+        f = outs[2].to_video_frame()
+        assert f.y.dtype == np.uint16
+        # content is 8-bit shifted; outputs must stay on the 16-bit scale
+        assert f.y.max() > 255
+
+    def test_p010_flow_matches_nv12(self):
+        """P010 content that is 8-bit<<8 must produce the identical flow
+        field (the luma_shift folds the scale back out)."""
+        cfg8 = synthetic.SyntheticConfig(width=64, height=48, fps=24.0)
+        cfg16 = synthetic.SyntheticConfig(width=64, height=48, fps=24.0,
+                                          pixfmt="p010")
+        e8, e16 = make_engine(), make_engine()
+        for f8, f16 in zip(synthetic.moving_box(cfg8, 3),
+                           synthetic.moving_box(cfg16, 3)):
+            e8.push(f8)
+            e16.push(f16)
+        np.testing.assert_array_equal(np.asarray(e8._blurred),
+                                      np.asarray(e16._blurred))

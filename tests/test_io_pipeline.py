@@ -1,0 +1,169 @@
+"""IO round-trips, present clock, pipeline orchestration, applet protocol."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+from mpv_frame_interpolator_tpu.frame import NV12, P010
+from mpv_frame_interpolator_tpu.io import synthetic, sinks
+from mpv_frame_interpolator_tpu.io.y4m import Y4MReader, Y4MWriter, RawYUVReader
+from mpv_frame_interpolator_tpu.pipeline.engine import (
+    EngineConfig, InterpolationEngine)
+from mpv_frame_interpolator_tpu.pipeline.player import Pipeline
+from mpv_frame_interpolator_tpu.pipeline.present import PresentClock
+from mpv_frame_interpolator_tpu.control.applet import (
+    apply_command_code, telemetry_text)
+from mpv_frame_interpolator_tpu.pipeline.cadence import InterpolationState
+
+
+def eng(**kw):
+    kw.setdefault("scene_detection", False)
+    kw.setdefault("auto_quality", False)
+    kw.setdefault("measure_timing", False)
+    return InterpolationEngine(EngineConfig(**kw))
+
+
+class TestY4M:
+    def test_roundtrip_nv12(self, small_cfg):
+        frames = list(synthetic.moving_box(small_cfg, 3))
+        buf = io.BytesIO()
+        w = Y4MWriter(buf, 64, 48, 24.0)
+        for f in frames:
+            w.write(f)
+        buf.seek(0)
+        rdr = Y4MReader(buf)
+        back = list(rdr)
+        assert rdr.fps == pytest.approx(24.0)
+        assert len(back) == 3
+        for a, b in zip(frames, back):
+            np.testing.assert_array_equal(a.y, b.y)
+            np.testing.assert_array_equal(a.uv, b.uv)
+
+    def test_roundtrip_p010(self):
+        cfg = synthetic.SyntheticConfig(width=64, height=48, fps=30.0,
+                                        pixfmt=P010)
+        frames = list(synthetic.moving_box(cfg, 2))
+        buf = io.BytesIO()
+        w = Y4MWriter(buf, 64, 48, 30.0, P010)
+        for f in frames:
+            w.write(f)
+        buf.seek(0)
+        back = list(Y4MReader(buf))
+        assert back[0].fmt.pixfmt == P010
+        # 10-bit payload preserved through the <<6 / >>6 transport
+        np.testing.assert_array_equal(frames[0].y >> 6 << 6, back[0].y >> 0
+                                      if False else back[0].y)
+
+    def test_raw_reader(self, small_cfg, tmp_path):
+        frames = list(synthetic.moving_box(small_cfg, 2))
+        path = tmp_path / "raw.yuv"
+        with open(path, "wb") as fh:
+            for f in frames:
+                u, v = f.uv[:, 0::2], f.uv[:, 1::2]
+                fh.write(f.y.tobytes())
+                fh.write(np.ascontiguousarray(u).tobytes())
+                fh.write(np.ascontiguousarray(v).tobytes())
+        back = list(RawYUVReader(open(path, "rb"), 64, 48, 24.0))
+        assert len(back) == 2
+        np.testing.assert_array_equal(frames[1].y, back[1].y)
+
+
+class TestPresentClock:
+    def test_untimed_never_sleeps(self):
+        pc = PresentClock(60.0, untimed=True)
+        infos = [pc.present(i / 60) for i in range(50)]
+        assert pc.drops == 0
+        assert [i.vsync_index for i in infos] == list(range(50))
+
+    def test_num_vsyncs_display_sync(self):
+        pc = PresentClock(60.0, untimed=True)
+        pc.present(0.0)
+        info = pc.present(1 / 30)   # 2-vsync frame duration
+        assert info.num_vsyncs == 2
+
+    def test_estimated_fps(self):
+        pc = PresentClock(240.0)   # fast enough to actually pace in a test
+        for i in range(30):
+            pc.present(i / 240)
+        est = pc.estimated_display_fps()
+        assert 100 < est < 400
+
+
+class TestPipeline:
+    def test_run_with_present_and_sink(self, small_cfg):
+        src = synthetic.moving_box(small_cfg, 5)
+        sink = sinks.NullSink()
+        pipe = Pipeline(src, eng(), sink,
+                        PresentClock(60.0, untimed=True))
+        n = pipe.run()
+        assert n == 11 and sink.count == 11
+
+    def test_y4m_sink(self, small_cfg, tmp_path):
+        src = synthetic.moving_box(small_cfg, 3)
+        out = tmp_path / "out.y4m"
+        sink = sinks.Y4MFileSink(str(out), 64, 48, 60.0)
+        Pipeline(src, eng(), sink).run()
+        frames = list(Y4MReader(open(out, "rb")))
+        assert len(frames) == 6
+        assert frames[0].fmt.width == 64
+
+    def test_speed_command(self, small_cfg):
+        src = synthetic.moving_box(small_cfg, 4)
+        e = eng()
+        pipe = Pipeline(src, e, sinks.NullSink())
+        pipe.set_speed(2.0)
+        pipe.run()
+        assert e.cadence.playback_speed == 2.0
+
+    def test_source_error_propagates(self):
+        def bad():
+            yield from synthetic.moving_box(
+                synthetic.SyntheticConfig(width=64, height=48), 1)
+            raise RuntimeError("decode died")
+        pipe = Pipeline(bad(), eng(), sinks.NullSink())
+        with pytest.raises(RuntimeError, match="decode died"):
+            pipe.run()
+
+
+class TestAppletProtocol:
+    def test_command_codes(self, small_cfg):
+        e = eng()
+        list(map(e.push, synthetic.moving_box(small_cfg, 2)))
+        assert apply_command_code(e, 5)       # HSVFlow
+        assert e.frame_output_mode == 3
+        assert apply_command_code(e, 11)
+        assert (e.black_level, e.white_level) == (16.0, 219.0)
+        assert apply_command_code(e, 123)
+        assert e.black_level == 23.0
+        assert apply_command_code(e, 500)
+        assert e.white_level == 100.0
+        assert apply_command_code(e, 707)
+        assert e.delta_scalar == 7
+        assert apply_command_code(e, 815)
+        assert e.neighbor_bias_scalar == 15
+        assert apply_command_code(e, 0)
+        assert e.cadence.state == InterpolationState.DEACTIVATED
+        assert e.cadence.blending_scalar == 0.0
+        assert apply_command_code(e, 1)
+        assert e.cadence.state == InterpolationState.ACTIVE
+        assert not apply_command_code(e, 999)
+
+    def test_deactivated_passthrough(self, small_cfg):
+        e = eng()
+        apply_command_code(e, 0)
+        outs = []
+        for f in synthetic.moving_box(small_cfg, 3):
+            outs.extend(e.push(f))
+        assert len(outs) == 3  # all passthrough
+
+    def test_telemetry_text_shape(self, small_cfg):
+        e = eng()
+        for f in synthetic.moving_box(small_cfg, 3):
+            e.push(f)
+        text = telemetry_text(e)
+        lines = text.split("\n")
+        assert lines[0].startswith("Search Radius: ")
+        assert lines[1] == "Calc Res: 64x48"
+        assert len(lines) == 17  # 7 stat lines + 10 warp slots

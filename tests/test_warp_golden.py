@@ -1,0 +1,80 @@
+"""Golden tests: JAX warp must match the NumPy oracle for every output mode."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from mpv_frame_interpolator_tpu.ops import oracle
+from mpv_frame_interpolator_tpu.ops.flow import FlowGeometry, make_flow_fn
+from mpv_frame_interpolator_tpu.ops.warp import make_warp_fn
+from mpv_frame_interpolator_tpu.frame import interleave_chroma
+
+from conftest import frame_pair, planar
+
+
+def _setup(cfg, source="moving_box", radius=8, **kw):
+    f1, f2 = frame_pair(cfg, source, **kw)
+    geom = FlowGeometry.create(f1.fmt.height, f1.fmt.stride, f1.fmt.width)
+    _, blur_ref = oracle.calculate_optical_flow(
+        f1.y, f1.uv, f2.y, f2.uv, search_radius=radius,
+        res_scalar=geom.res_scalar, lh=geom.low_h, lw=geom.low_w)
+    return f1, f2, geom, blur_ref
+
+
+def _compare(f1, f2, geom, blur, mode, t, black=0.0, white=255.0,
+             exact=True):
+    ref_y, ref_uv = oracle.warp_frame(
+        f1.y, f1.uv, f2.y, f2.uv, blur, t, mode,
+        geom.res_scalar, geom.actual_width, black, white)
+
+    fn = make_warp_fn(geom, mode)
+    y1, u1, v1 = planar(f1)
+    y2, u2, v2 = planar(f2)
+    jy, ju, jv = fn(jnp.asarray(y1), jnp.asarray(u1), jnp.asarray(v1),
+                    jnp.asarray(y2), jnp.asarray(u2), jnp.asarray(v2),
+                    jnp.asarray(blur.astype(np.int32)),
+                    jnp.float32(t), jnp.float32(black), jnp.float32(white))
+    jy = np.asarray(jy)
+    juv = interleave_chroma(np.asarray(ju), np.asarray(jv))
+
+    wa = geom.actual_width
+    ry, ruv = ref_y[:, :wa], ref_uv[:, :wa]
+    if exact:
+        np.testing.assert_array_equal(ry, jy)
+        np.testing.assert_array_equal(ruv, juv)
+    else:
+        # HSV mode: atan2/float ulp differences may move hue sector edges
+        for a, b in ((ry.astype(int), jy.astype(int)),
+                     (ruv.astype(int), juv.astype(int))):
+            frac_diff = np.mean(np.abs(a - b) > 2)
+            assert frac_diff < 0.005, f"{frac_diff=}"
+
+
+MODES_EXACT = [oracle.WARPED_FRAME_12, oracle.WARPED_FRAME_21,
+               oracle.BLENDED_FRAME, oracle.GREY_FLOW,
+               oracle.SIDE_BY_SIDE_1, oracle.SIDE_BY_SIDE_2]
+
+
+class TestWarpGolden:
+    @pytest.mark.parametrize("mode", MODES_EXACT)
+    def test_modes_exact(self, small_cfg, mode):
+        f1, f2, geom, blur = _setup(small_cfg)
+        _compare(f1, f2, geom, blur, mode, 0.4)
+
+    @pytest.mark.parametrize("t", [0.0, 0.25, 0.5, 0.9999])
+    def test_blend_positions(self, small_cfg, t):
+        f1, f2, geom, blur = _setup(small_cfg, "gradient_pan")
+        _compare(f1, f2, geom, blur, oracle.BLENDED_FRAME, t)
+
+    def test_levels(self, small_cfg):
+        f1, f2, geom, blur = _setup(small_cfg)
+        _compare(f1, f2, geom, blur, oracle.BLENDED_FRAME, 0.3,
+                 black=16.0, white=219.0)
+
+    def test_hsv_flow_near_exact(self, small_cfg):
+        f1, f2, geom, blur = _setup(small_cfg, "gradient_pan")
+        _compare(f1, f2, geom, blur, oracle.HSV_FLOW, 0.5, exact=False)
+
+    def test_pyramid_geometry(self, pyramid_cfg):
+        f1, f2, geom, blur = _setup(pyramid_cfg, "gradient_pan", radius=6)
+        _compare(f1, f2, geom, blur, oracle.BLENDED_FRAME, 0.6)
