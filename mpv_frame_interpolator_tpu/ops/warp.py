@@ -174,24 +174,48 @@ def _visualize_flow(off_x, off_y, curr_8, channel: int, res_impact: int):
                               0.0, 255.0)).astype(jnp.int32)
 
 
+def _warp_fields(geom: FlowGeometry, blurred):
+    """The t-independent part of the warp: forward + reverse flow sampled
+    onto the luma and chroma output grids.  Shared across all blend
+    positions of one source pair (one flow calc serves numIntFrames warps,
+    vf_HopperRender.c:481-500)."""
+    ox21_lo, oy21_lo = _reverse_flow(geom, blurred)
+    return {
+        "OX12": _upsample_y(geom, blurred[0]),
+        "OY12": _upsample_y(geom, blurred[1]),
+        "OX21": _upsample_y(geom, ox21_lo),
+        "OY21": _upsample_y(geom, oy21_lo),
+        "OX12c": _upsample_uv(geom, blurred[0]),
+        "OY12c": _upsample_uv(geom, blurred[1]),
+        "OX21c": _upsample_uv(geom, ox21_lo),
+        "OY21c": _upsample_uv(geom, oy21_lo),
+    }
+
+
 def _warp_impl(geom: FlowGeometry, mode: int, scale_shift: int, dtype,
                f1y, f1u, f1v, f2y, f2u, f2v, blurred, t, black, white):
     """Returns (y, u, v) warped/blended output planes."""
+    if mode in (SIDE_BY_SIDE_1, SIDE_BY_SIDE_2):
+        fs12 = t.astype(jnp.float32)
+        fs21 = (1.0 - t).astype(jnp.float32)
+        return _warp_sbs(geom, mode, scale_shift, dtype,
+                         f1y, f1u, f1v, f2y, f2u, f2v, blurred,
+                         fs12, fs21, black, white)
+    fields = _warp_fields(geom, blurred)
+    return _warp_sample(geom, mode, scale_shift, dtype,
+                        f1y, f1u, f1v, f2y, f2u, f2v, fields, t,
+                        black, white)
+
+
+def _warp_sample(geom: FlowGeometry, mode: int, scale_shift: int, dtype,
+                 f1y, f1u, f1v, f2y, f2u, f2v, fields, t, black, white):
+    """Per-blend-position part of the warp (vmapped by the batch path)."""
     H, Wa, rs = geom.height, geom.actual_width, geom.res_scalar
     fs12 = t.astype(jnp.float32)
     fs21 = (1.0 - t).astype(jnp.float32)
     mid = 128 << scale_shift
 
-    if mode in (SIDE_BY_SIDE_1, SIDE_BY_SIDE_2):
-        return _warp_sbs(geom, mode, scale_shift, dtype,
-                         f1y, f1u, f1v, f2y, f2u, f2v, blurred,
-                         fs12, fs21, black, white)
-
-    ox21_lo, oy21_lo = _reverse_flow(geom, blurred)
-
-    # ---------------- luma pass (cz = 0) ----------------
-    OX12 = _upsample_y(geom, blurred[0])
-    OY12 = _upsample_y(geom, blurred[1])
+    OX12, OY12 = fields["OX12"], fields["OY12"]
 
     if mode == GREY_FLOW:
         grey = jnp.minimum((jnp.abs(OX12) + jnp.abs(OY12)) << 2, 255)
@@ -199,8 +223,7 @@ def _warp_impl(geom: FlowGeometry, mode: int, scale_shift: int, dtype,
         cu = jnp.full((H // 2, Wa // 2), mid, dtype)
         return out_y, cu, cu
 
-    OX21 = _upsample_y(geom, ox21_lo)
-    OY21 = _upsample_y(geom, oy21_lo)
+    OX21, OY21 = fields["OX21"], fields["OY21"]
 
     cyg, cxg = jnp.mgrid[0:H, 0:Wa]
     ncx12 = mirror_edge2(cxg + _iround(OX12.astype(jnp.float32) * fs12), Wa)
@@ -224,10 +247,8 @@ def _warp_impl(geom: FlowGeometry, mode: int, scale_shift: int, dtype,
     out_y = out_y.astype(dtype)
 
     # ---------------- chroma pass (cz = 1) ----------------
-    OX12c = _upsample_uv(geom, blurred[0])
-    OY12c = _upsample_uv(geom, blurred[1])
-    OX21c = _upsample_uv(geom, ox21_lo)
-    OY21c = _upsample_uv(geom, oy21_lo)
+    OX12c, OY12c = fields["OX12c"], fields["OY12c"]
+    OX21c, OY21c = fields["OX21c"], fields["OY21c"]
 
     hc = H >> 1
     cyg, cxg = jnp.mgrid[0:hc, 0:Wa]
@@ -350,6 +371,38 @@ def _warp_sbs(geom, mode, scale_shift, dtype,
     out_u = uv[:, 0::2].astype(dtype)
     out_v = uv[:, 1::2].astype(dtype)
     return out_y, out_u, out_v
+
+
+@functools.lru_cache(maxsize=128)
+def make_warp_batch_fn(geom: FlowGeometry, mode: int, scale_shift: int = 0):
+    """Jitted batched warp: fn(f1y,...,f2v, blurred, ts, black, white)
+    -> (y (N,H,Wa), u (N,H/2,Wa/2), v (N,H/2,Wa/2)) for a vector of N
+    blend positions.
+
+    All output frames of one source pair ride a single dispatch: the
+    t-independent flow fields are computed once and the per-t sampling is
+    vmapped.  (The reference launches warpFrameKernel per output frame,
+    opticalFlowCalc.c:205-233; a batched dispatch amortizes launch
+    overhead and reuses the flow upsample.)  SBS modes fall back to
+    per-frame vmap of the generic path."""
+    dtype = jnp.uint16 if scale_shift else jnp.uint8
+
+    def impl(f1y, f1u, f1v, f2y, f2u, f2v, blurred, ts, black, white):
+        if mode in (SIDE_BY_SIDE_1, SIDE_BY_SIDE_2):
+            def one(t):
+                return _warp_impl(geom, mode, scale_shift, dtype,
+                                  f1y, f1u, f1v, f2y, f2u, f2v, blurred,
+                                  t, black, white)
+            return jax.vmap(one)(ts)
+        fields = _warp_fields(geom, blurred)
+
+        def one(t):
+            return _warp_sample(geom, mode, scale_shift, dtype,
+                                f1y, f1u, f1v, f2y, f2u, f2v, fields, t,
+                                black, white)
+        return jax.vmap(one)(ts)
+
+    return jax.jit(impl)
 
 
 @functools.lru_cache(maxsize=64)

@@ -65,26 +65,38 @@ class EngineConfig:
 
 
 class OutputFrame:
-    """A produced frame; planes may live on device until materialized."""
+    """A produced frame; planes may live on device until materialized.
 
-    __slots__ = ("pts", "fmt", "_y", "_uv", "_host")
+    Warped outputs of one source pair share a single batched device array
+    (one dispatch for all blend positions); `index` selects this frame's
+    slice lazily."""
 
-    def __init__(self, pts: float, fmt: FrameFormat, y, uv, host: bool):
+    __slots__ = ("pts", "fmt", "_y", "_uv", "_host", "_index")
+
+    def __init__(self, pts: float, fmt: FrameFormat, y, uv, host: bool,
+                 index: Optional[int] = None):
         self.pts = pts
         self.fmt = fmt
         self._y = y
         self._uv = uv
         self._host = host
+        self._index = index
 
     def block(self):
         if not self._host:
             jax.block_until_ready(self._uv)
         return self
 
+    def device_planes(self):
+        """(y, uv) as device (or host) arrays for zero-copy consumers."""
+        if self._index is None:
+            return self._y, self._uv
+        return self._y[self._index], self._uv[self._index]
+
     def to_video_frame(self) -> VideoFrame:
-        y = np.asarray(self._y)
-        uv = np.asarray(self._uv)
-        return VideoFrame(y, uv, self.fmt, pts=self.pts)
+        y, uv = self.device_planes()
+        return VideoFrame(np.asarray(y), np.asarray(uv), self.fmt,
+                          pts=self.pts)
 
 
 @dataclasses.dataclass
@@ -97,20 +109,34 @@ class _DeviceFrame:
 @functools.lru_cache(maxsize=64)
 def _make_warp_step(geom: FlowGeometry, mode: int, scale_shift: int,
                     cut_policy: str):
-    """Fused warp dispatch: scene-cut folding + warp + NV12 re-interleave."""
-    base = warp_ops._warp_impl  # noqa: SLF001 - same package
+    """Fused batched warp dispatch: scene-cut folding + N warps + NV12
+    re-interleave, all in ONE device call per source pair."""
     dtype = jnp.uint16 if scale_shift else jnp.uint8
 
-    def step(f1y, f1u, f1v, f2y, f2u, f2v, blurred, t, black, white, cut):
+    def step(f1y, f1u, f1v, f2y, f2u, f2v, blurred, ts, black, white, cut):
         blurred = jnp.where(cut, jnp.zeros_like(blurred), blurred)
         if cut_policy == "nearest":
-            t_cut = jnp.where(t >= 0.5, 1.0, 0.0).astype(jnp.float32)
+            ts_cut = jnp.where(ts >= 0.5, 1.0, 0.0).astype(jnp.float32)
         else:  # hold the previous frame
-            t_cut = jnp.float32(0.0)
-        t = jnp.where(cut, t_cut, t)
-        y, u, v = base(geom, mode, scale_shift, dtype,
-                       f1y, f1u, f1v, f2y, f2u, f2v, blurred, t, black, white)
-        uv = jnp.stack((u, v), axis=2).reshape(u.shape[0], u.shape[1] * 2)
+            ts_cut = jnp.zeros_like(ts)
+        ts = jnp.where(cut, ts_cut, ts)
+
+        if mode in (warp_ops.SIDE_BY_SIDE_1, warp_ops.SIDE_BY_SIDE_2):
+            def one(t):
+                return warp_ops._warp_impl(
+                    geom, mode, scale_shift, dtype,
+                    f1y, f1u, f1v, f2y, f2u, f2v, blurred, t, black, white)
+            y, u, v = jax.vmap(one)(ts)
+        else:
+            fields = warp_ops._warp_fields(geom, blurred)
+
+            def one(t):
+                return warp_ops._warp_sample(
+                    geom, mode, scale_shift, dtype,
+                    f1y, f1u, f1v, f2y, f2u, f2v, fields, t, black, white)
+            y, u, v = jax.vmap(one)(ts)
+        n, hc, wc = u.shape
+        uv = jnp.stack((u, v), axis=3).reshape(n, hc, wc * 2)
         return y, uv
 
     return jax.jit(step)
@@ -198,13 +224,19 @@ class InterpolationEngine:
             self._warm.add((radius, -1))
         warp_step = _make_warp_step(self.geom, self.frame_output_mode,
                                     self._scale_shift, self.config.cut_policy)
-        y, _ = warp_step(zy, zc, zc, zy, zc, zc, blurred, jnp.float32(0.5),
-                         jnp.float32(0.0), jnp.float32(255.0),
-                         jnp.asarray(False))
-        jax.block_until_ready(y)
-        for radius in range(self.quality.min_radius,
-                            self.quality.max_radius + 1):
-            self._warm.add((radius, self.frame_output_mode))
+        # warm the plausible batch sizes for the current display/source ratio
+        ratio = max(self.cadence.target_frame_time
+                    / self.cadence.source_frame_time, 1e-6)
+        base_n = max(int(np.ceil(1.0 / ratio)), 1)
+        for n in {1, base_n, max(base_n - 1, 1), base_n + 1}:
+            y, _ = warp_step(zy, zc, zc, zy, zc, zc, blurred,
+                             jnp.zeros((n,), jnp.float32),
+                             jnp.float32(0.0), jnp.float32(255.0),
+                             jnp.asarray(False))
+            jax.block_until_ready(y)
+            for radius in range(self.quality.min_radius,
+                                self.quality.max_radius + 1):
+                self._warm.add((radius, self.frame_output_mode, n))
         log.info("precompiled %d flow radii + warp in %.1fs",
                  self.quality.max_radius - self.quality.min_radius + 1,
                  time.perf_counter() - t0)
@@ -241,7 +273,8 @@ class InterpolationEngine:
         # (ordering per vf_HopperRender.c:484 before the new calc)
         self.quality.update(self._last_calc_duration, self.cadence)
 
-        spec_key = (self.quality.search_radius, self.frame_output_mode)
+        spec_key = (self.quality.search_radius, self.frame_output_mode,
+                    self.cadence.num_int_frames)
         was_warm = spec_key in self._warm
 
         t0 = time.perf_counter()
@@ -277,13 +310,13 @@ class InterpolationEngine:
         warp_step = _make_warp_step(self.geom, self.frame_output_mode,
                                     self._scale_shift, self.config.cut_policy)
         out_fmt = self._out_fmt()
-        outputs: List[OutputFrame] = []
-        for slot in plan.outputs:
-            y, uv = warp_step(f1.y, f1.u, f1.v, f2.y, f2.u, f2.v, blurred,
-                              jnp.float32(slot.blend),
-                              jnp.float32(self.black_level),
-                              jnp.float32(self.white_level), cut)
-            outputs.append(OutputFrame(slot.pts, out_fmt, y, uv, host=False))
+        ts = jnp.asarray([slot.blend for slot in plan.outputs], jnp.float32)
+        y, uv = warp_step(f1.y, f1.u, f1.v, f2.y, f2.u, f2.v, blurred, ts,
+                          jnp.float32(self.black_level),
+                          jnp.float32(self.white_level), cut)
+        outputs: List[OutputFrame] = [
+            OutputFrame(slot.pts, out_fmt, y, uv, host=False, index=i)
+            for i, slot in enumerate(plan.outputs)]
 
         if self.config.measure_timing and outputs:
             outputs[-1].block()
