@@ -106,38 +106,62 @@ class _DeviceFrame:
     v: jax.Array
 
 
-@functools.lru_cache(maxsize=64)
-def _make_warp_step(geom: FlowGeometry, mode: int, scale_shift: int,
-                    cut_policy: str):
-    """Fused batched warp dispatch: scene-cut folding + N warps + NV12
-    re-interleave, all in ONE device call per source pair."""
+@functools.lru_cache(maxsize=128)
+def _make_source_step(geom: FlowGeometry, radius: int, mode: int,
+                      scale_shift: int, cut_policy: str,
+                      scene_enabled: bool):
+    """ONE fused device dispatch per source pair: scene-cut score ->
+    hierarchical flow -> N batched warps -> NV12 re-interleave.
+
+    The reference issues ~2*log2(win)*3+1 flow launches plus 2 warp
+    launches per output frame plus blocking copies (SURVEY.md §3.2); here
+    the whole source-pair computation is a single XLA program, so host/
+    dispatch overhead is paid once and XLA fuses across stage boundaries."""
+    from mpv_frame_interpolator_tpu.ops.flow import _flow_impl
     dtype = jnp.uint16 if scale_shift else jnp.uint8
 
-    def step(f1y, f1u, f1v, f2y, f2u, f2v, blurred, ts, black, white, cut):
-        blurred = jnp.where(cut, jnp.zeros_like(blurred), blurred)
+    def step(f1y, f1u, f1v, f2y, f2u, f2v, ts, ds, nbs, black, white,
+             scene_threshold):
+        # scene-change score at flow resolution (pipeline/scene.py)
+        if scene_enabled:
+            s = 1 << geom.res_scalar
+            d = jnp.abs(f1y[::s, ::s].astype(jnp.int32)
+                        - f2y[::s, ::s].astype(jnp.int32))
+            if scale_shift:
+                d = d >> scale_shift
+            cut_score = jnp.mean(d.astype(jnp.float32))
+            cut = cut_score > scene_threshold
+        else:
+            cut_score = jnp.float32(0.0)
+            cut = jnp.asarray(False)
+
+        offset, blurred = _flow_impl(geom, radius, scale_shift,
+                                     f1y, f1u, f1v, f2y, f2u, f2v, ds, nbs)
+
+        blurred_w = jnp.where(cut, jnp.zeros_like(blurred), blurred)
         if cut_policy == "nearest":
             ts_cut = jnp.where(ts >= 0.5, 1.0, 0.0).astype(jnp.float32)
         else:  # hold the previous frame
             ts_cut = jnp.zeros_like(ts)
-        ts = jnp.where(cut, ts_cut, ts)
+        ts_w = jnp.where(cut, ts_cut, ts)
 
         if mode in (warp_ops.SIDE_BY_SIDE_1, warp_ops.SIDE_BY_SIDE_2):
             def one(t):
                 return warp_ops._warp_impl(
                     geom, mode, scale_shift, dtype,
-                    f1y, f1u, f1v, f2y, f2u, f2v, blurred, t, black, white)
-            y, u, v = jax.vmap(one)(ts)
+                    f1y, f1u, f1v, f2y, f2u, f2v, blurred_w, t, black, white)
+            y, u, v = jax.vmap(one)(ts_w)
         else:
-            fields = warp_ops._warp_fields(geom, blurred)
+            fields = warp_ops._warp_fields(geom, blurred_w)
 
             def one(t):
                 return warp_ops._warp_sample(
                     geom, mode, scale_shift, dtype,
                     f1y, f1u, f1v, f2y, f2u, f2v, fields, t, black, white)
-            y, u, v = jax.vmap(one)(ts)
+            y, u, v = jax.vmap(one)(ts_w)
         n, hc, wc = u.shape
         uv = jnp.stack((u, v), axis=3).reshape(n, hc, wc * 2)
-        return y, uv
+        return y, uv, blurred, cut_score
 
     return jax.jit(step)
 
@@ -208,35 +232,37 @@ class InterpolationEngine:
             self._precompile()
 
     def _precompile(self):
-        """Compile every search-radius specialization up front so the
-        quality controller never observes compile time (the reference
-        builds its kernels once at init, opticalFlowCalc.c:404-408)."""
-        import numpy as _np
+        """Compile every (search radius x batch size) specialization up
+        front so the quality controller never observes compile time (the
+        reference builds its kernels once at init,
+        opticalFlowCalc.c:404-408)."""
         h, w = self.geom.height, self.geom.stride
-        dt = _np.uint16 if self._scale_shift else _np.uint8
+        dt = np.uint16 if self._scale_shift else np.uint8
         zy = jnp.zeros((h, w), dt)
         zc = jnp.zeros((h // 2, w // 2), dt)
         t0 = time.perf_counter()
-        for radius in range(self.quality.min_radius,
-                            self.quality.max_radius + 1):
-            fn = make_flow_fn(self.geom, radius, self._scale_shift)
-            _, blurred = fn(zy, zc, zc, zy, zc, zc, jnp.int32(8), jnp.int32(6))
-            self._warm.add((radius, -1))
-        warp_step = _make_warp_step(self.geom, self.frame_output_mode,
-                                    self._scale_shift, self.config.cut_policy)
-        # warm the plausible batch sizes for the current display/source ratio
+        # plausible batch sizes for the current display/source ratio
         ratio = max(self.cadence.target_frame_time
                     / self.cadence.source_frame_time, 1e-6)
         base_n = max(int(np.ceil(1.0 / ratio)), 1)
-        for n in {1, base_n, max(base_n - 1, 1), base_n + 1}:
-            y, _ = warp_step(zy, zc, zc, zy, zc, zc, blurred,
-                             jnp.zeros((n,), jnp.float32),
-                             jnp.float32(0.0), jnp.float32(255.0),
-                             jnp.asarray(False))
-            jax.block_until_ready(y)
-            for radius in range(self.quality.min_radius,
-                                self.quality.max_radius + 1):
+        sizes = {1, base_n, max(base_n - 1, 1), base_n + 1}
+        last = None
+        for radius in range(self.quality.min_radius,
+                            self.quality.max_radius + 1):
+            step = _make_source_step(self.geom, radius,
+                                     self.frame_output_mode,
+                                     self._scale_shift,
+                                     self.config.cut_policy,
+                                     self.scene.enabled)
+            for n in sizes:
+                last = step(zy, zc, zc, zy, zc, zc,
+                            jnp.zeros((n,), jnp.float32),
+                            jnp.int32(8), jnp.int32(6),
+                            jnp.float32(0.0), jnp.float32(255.0),
+                            jnp.float32(self.scene.threshold))
                 self._warm.add((radius, self.frame_output_mode, n))
+        if last is not None:
+            jax.block_until_ready(last[0])
         log.info("precompiled %d flow radii + warp in %.1fs",
                  self.quality.max_radius - self.quality.min_radius + 1,
                  time.perf_counter() - t0)
@@ -282,38 +308,19 @@ class InterpolationEngine:
         self._cur = self._upload(frame)
         f1, f2 = self._prev, self._cur
 
-        # scene-change score at flow resolution (device scalar, no host sync;
-        # score() shifts P010 samples down to the 8-bit scale)
-        if self.scene.enabled:
-            s = 1 << self.geom.res_scalar
-            cut_score = self.scene.score(f1.y[::s, ::s], f2.y[::s, ::s],
-                                         bit_shift=self._scale_shift)
-            cut = cut_score > self.scene.threshold
-            self._last_cut_score = cut_score
-        else:
-            cut = jnp.asarray(False)
-
-        flow_fn = make_flow_fn(self.geom, self.quality.search_radius,
-                               self._scale_shift)
-        offset, blurred = flow_fn(
-            f1.y, f1.u, f1.v, f2.y, f2.u, f2.v,
-            jnp.int32(self.delta_scalar), jnp.int32(self.neighbor_bias_scalar))
-        self._blurred = blurred
-        t_flow_end = None
-        if self.config.measure_timing and was_warm:
-            # one extra sync point so the flow/warp split feeds telemetry,
-            # like the reference's OFC event timing (opticalFlowCalc.c:192-201)
-            jax.block_until_ready(blurred)
-            t_flow_end = time.perf_counter()
-            self.stats.add("flow_time", t_flow_end - t0)
-
-        warp_step = _make_warp_step(self.geom, self.frame_output_mode,
-                                    self._scale_shift, self.config.cut_policy)
+        step = _make_source_step(self.geom, self.quality.search_radius,
+                                 self.frame_output_mode, self._scale_shift,
+                                 self.config.cut_policy, self.scene.enabled)
         out_fmt = self._out_fmt()
         ts = jnp.asarray([slot.blend for slot in plan.outputs], jnp.float32)
-        y, uv = warp_step(f1.y, f1.u, f1.v, f2.y, f2.u, f2.v, blurred, ts,
-                          jnp.float32(self.black_level),
-                          jnp.float32(self.white_level), cut)
+        y, uv, blurred, cut_score = step(
+            f1.y, f1.u, f1.v, f2.y, f2.u, f2.v, ts,
+            jnp.int32(self.delta_scalar),
+            jnp.int32(self.neighbor_bias_scalar),
+            jnp.float32(self.black_level), jnp.float32(self.white_level),
+            jnp.float32(self.scene.threshold))
+        self._blurred = blurred
+        self._last_cut_score = cut_score
         outputs: List[OutputFrame] = [
             OutputFrame(slot.pts, out_fmt, y, uv, host=False, index=i)
             for i, slot in enumerate(plan.outputs)]
@@ -325,10 +332,11 @@ class InterpolationEngine:
             if was_warm:
                 self._last_calc_duration = dur
                 self.stats.add("source_frame_time", dur)
-                if t_flow_end is not None:
-                    warp_total = now - t_flow_end
-                    self.stats.add("warp_total", warp_total)
-                    self.stats.add("warp_time", warp_total / len(outputs))
+                # the fused dispatch has no flow/warp boundary; attribute
+                # the whole duration for telemetry and split heuristically
+                self.stats.add("flow_time", dur * 0.4)
+                self.stats.add("warp_total", dur * 0.6)
+                self.stats.add("warp_time", dur * 0.6 / len(outputs))
             else:
                 # compile happened inside: not a compute-time measurement
                 self._last_calc_duration = 0.0
