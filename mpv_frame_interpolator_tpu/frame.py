@@ -110,11 +110,12 @@ def split_chroma(uv: np.ndarray):
 
 
 def interleave_chroma(u: np.ndarray, v: np.ndarray) -> np.ndarray:
-    """Planar (u, v) -> NV12 interleaved UV plane."""
+    """Planar (u, v) -> NV12 interleaved UV plane (native repack when the
+    _mfi_native extension is built)."""
+    from mpv_frame_interpolator_tpu import native
     uv = np.empty((u.shape[0], u.shape[1] * 2), u.dtype)
-    uv[:, 0::2] = u
-    uv[:, 1::2] = v
-    return uv
+    return native.interleave_chroma_into(np.ascontiguousarray(u),
+                                         np.ascontiguousarray(v), uv)
 
 
 def psnr(a: VideoFrame, b: VideoFrame, plane: str = "y") -> float:

@@ -225,7 +225,8 @@ def blur_flow(offset, lh: int, lw: int):
 
 def _flow_impl(geom: FlowGeometry, radius: int, luma_shift: int,
                f1y, f1u, f1v, f2y, f2u, f2v,
-               delta_scalar, neighbor_bias_scalar):
+               delta_scalar, neighbor_bias_scalar,
+               pallas_blur: bool = False):
     lh, lw = geom.low_h, geom.low_w
     off_x = jnp.zeros((lh, lw), jnp.int32)
     off_y = jnp.zeros((lh, lw), jnp.int32)
@@ -241,12 +242,17 @@ def _flow_impl(geom: FlowGeometry, radius: int, luma_shift: int,
                                           off_x, off_y, sums)
 
     offset = jnp.stack([off_x, off_y])
-    blurred = blur_flow(offset, lh, lw)
+    if pallas_blur:
+        from mpv_frame_interpolator_tpu.ops.pallas.blur import blur_flow_pallas
+        blurred = blur_flow_pallas(offset, lh, lw)
+    else:
+        blurred = blur_flow(offset, lh, lw)
     return offset, blurred
 
 
 @functools.lru_cache(maxsize=64)
-def make_flow_fn(geom: FlowGeometry, radius: int, luma_shift: int = 0):
+def make_flow_fn(geom: FlowGeometry, radius: int, luma_shift: int = 0,
+                 pallas_blur: bool = False):
     """Build the jitted flow function for a given geometry + search radius.
 
     Returns fn(f1y, f1u, f1v, f2y, f2u, f2v, delta_scalar, nbs)
@@ -254,5 +260,6 @@ def make_flow_fn(geom: FlowGeometry, radius: int, luma_shift: int = 0):
 
     f1 is the OLDER frame, f2 the NEWER (ping-pong semantics of
     opticalFlowCalc.c:96-106 / 163-164)."""
-    impl = functools.partial(_flow_impl, geom, radius, luma_shift)
+    impl = functools.partial(_flow_impl, geom, radius, luma_shift,
+                             pallas_blur=pallas_blur)
     return jax.jit(impl)

@@ -8,14 +8,12 @@ memory-bound limit.  Measured on TPU v5e (see ARCHITECTURE.md §perf):
 * the SAD delta-sum search and the warp are gather-dominated; XLA's TPU
   gather runs at tens of G-elements/s and the fused elementwise code
   around it is memory-bound, so those stay on the XLA path;
-* the flow box blur and the per-window reduction are dense, tile-regular
-  ops implemented here as Pallas kernels (blur_flow_pallas,
-  window_sums_pallas) and wired in behind EngineConfig.use_pallas.
+* the flow box blur is a dense, tile-regular op implemented here as a
+  Pallas kernel (blur_flow_pallas), wired in via ops.flow.make_flow_fn
+  (pallas_blur=True).
 
 All kernels run under interpret=True on CPU (tests exercise them without
 TPU hardware, SURVEY.md §4.8 analog of vo_null testing).
 """
 
 from mpv_frame_interpolator_tpu.ops.pallas.blur import blur_flow_pallas  # noqa: F401
-from mpv_frame_interpolator_tpu.ops.pallas.window_sums import (  # noqa: F401
-    window_sums_pallas)
