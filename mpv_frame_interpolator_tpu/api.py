@@ -1,0 +1,186 @@
+"""Embedding API: a libmpv-style handle around the interpolation pipeline.
+
+The reference's embedding surface is the libmpv client API
+(player/client.c, include/mpv/client.h): commands, typed properties with
+observers, and an event stream.  This module is the rebuild's equivalent
+for hosts embedding the TPU interpolator: a `Player` owns the engine and
+exposes the runtime-mutable state as named properties (the same set the
+reference exposes through filter options, applet codes and mpv properties).
+
+    p = Player(EngineConfig(display_fps=60))
+    p.observe_property("search-radius", print)
+    p.set_property("speed", 2.0)
+    for out in p.feed(frame):
+        ...
+"""
+
+from __future__ import annotations
+
+import collections
+import dataclasses
+import enum
+import threading
+from typing import Any, Callable, Dict, Iterable, List, Optional
+
+from mpv_frame_interpolator_tpu.frame import VideoFrame
+from mpv_frame_interpolator_tpu.pipeline.cadence import InterpolationState
+from mpv_frame_interpolator_tpu.pipeline.engine import (
+    EngineConfig, InterpolationEngine, OutputFrame)
+from mpv_frame_interpolator_tpu.utils import get_logger
+
+log = get_logger("api")
+
+
+class EventType(enum.Enum):
+    PROPERTY_CHANGE = "property-change"
+    STATE_CHANGE = "state-change"
+    FRAMES_OUT = "frames-out"
+    SEEK_RESET = "seek-reset"
+    END_OF_STREAM = "end-of-stream"
+
+
+@dataclasses.dataclass
+class Event:
+    type: EventType
+    name: str = ""
+    data: Any = None
+
+
+class PropertyError(KeyError):
+    pass
+
+
+class Player:
+    """Command/property/event surface over one InterpolationEngine."""
+
+    def __init__(self, config: Optional[EngineConfig] = None):
+        self.engine = InterpolationEngine(config)
+        self._observers: Dict[str, List[Callable[[str, Any], None]]] = {}
+        self._events: "collections.deque[Event]" = collections.deque(maxlen=1024)
+        self._event_cv = threading.Condition()
+        self._last_state = self.engine.cadence.state
+
+        e = self.engine
+        # property registry: name -> (getter, setter-or-None)
+        self._props = {
+            "speed": (lambda: e.cadence.playback_speed, e.set_speed),
+            "display-fps": (lambda: 1.0 / e.cadence.target_frame_time, None),
+            "source-fps": (lambda: e.cadence.source_fps, None),
+            "frame-output-mode": (lambda: e.frame_output_mode,
+                                  self._set_mode),
+            "search-radius": (lambda: e.quality.search_radius,
+                              self._set_radius),
+            "auto-quality": (lambda: e.quality.enabled,
+                             self._set_auto_quality),
+            "interpolation-state": (lambda: e.cadence.state.name, None),
+            "black-level": (lambda: e.black_level,
+                            lambda v: setattr(e, "black_level", float(v))),
+            "white-level": (lambda: e.white_level,
+                            lambda v: setattr(e, "white_level", float(v))),
+            "delta-scalar": (lambda: e.delta_scalar,
+                             lambda v: setattr(e, "delta_scalar", int(v))),
+            "neighbor-bias-scalar": (
+                lambda: e.neighbor_bias_scalar,
+                lambda v: setattr(e, "neighbor_bias_scalar", int(v))),
+            "scene-detection": (lambda: e.scene.enabled,
+                                lambda v: setattr(e.scene, "enabled", bool(v))),
+            "scene-threshold": (lambda: e.scene.threshold,
+                                lambda v: setattr(e.scene, "threshold", float(v))),
+            "blending-scalar": (lambda: e.cadence.blending_scalar, None),
+            "source-frame-num": (lambda: e.cadence.source_frame_num, None),
+            "num-int-frames": (lambda: e.cadence.num_int_frames, None),
+            "stats": (lambda: e.stats.summary(), None),
+        }
+
+    # ---- properties -----------------------------------------------------
+
+    def property_names(self) -> List[str]:
+        return sorted(self._props)
+
+    def get_property(self, name: str) -> Any:
+        if name not in self._props:
+            raise PropertyError(name)
+        return self._props[name][0]()
+
+    def set_property(self, name: str, value: Any):
+        if name not in self._props:
+            raise PropertyError(name)
+        setter = self._props[name][1]
+        if setter is None:
+            raise PropertyError(f"property {name!r} is read-only")
+        setter(value)
+        self._notify(name, self.get_property(name))
+
+    def observe_property(self, name: str,
+                         callback: Callable[[str, Any], None]):
+        if name not in self._props:
+            raise PropertyError(name)
+        self._observers.setdefault(name, []).append(callback)
+        callback(name, self.get_property(name))
+
+    def _notify(self, name: str, value: Any):
+        self._push_event(Event(EventType.PROPERTY_CHANGE, name, value))
+        for cb in self._observers.get(name, []):
+            try:
+                cb(name, value)
+            except Exception:  # observer bugs must not kill playback
+                log.exception("property observer for %r failed", name)
+
+    def _set_mode(self, v):
+        self.engine.frame_output_mode = int(v)
+
+    def _set_radius(self, v):
+        self.engine.quality.search_radius = max(
+            self.engine.quality.min_radius,
+            min(int(v), self.engine.quality.max_radius))
+
+    def _set_auto_quality(self, v):
+        self.engine.quality.enabled = bool(v)
+
+    # ---- commands (mpv_command analog) ----------------------------------
+
+    def command(self, name: str, *args) -> Any:
+        if name == "set-property" or name == "set_property":
+            return self.set_property(args[0], args[1])
+        if name == "get-property" or name == "get_property":
+            return self.get_property(args[0])
+        if name == "seek-reset":
+            self.engine.reset()
+            self._push_event(Event(EventType.SEEK_RESET))
+            return None
+        if name == "applet-code":   # raw settings-applet protocol code
+            from mpv_frame_interpolator_tpu.control.applet import (
+                apply_command_code)
+            return apply_command_code(self.engine, int(args[0]))
+        raise PropertyError(f"unknown command {name!r}")
+
+    # ---- frames ----------------------------------------------------------
+
+    def feed(self, frame: VideoFrame) -> List[OutputFrame]:
+        outs = self.engine.push(frame)
+        if self.engine.cadence.state is not self._last_state:
+            self._last_state = self.engine.cadence.state
+            self._push_event(Event(EventType.STATE_CHANGE,
+                                   data=self._last_state.name))
+            self._notify("interpolation-state", self._last_state.name)
+        if outs:
+            self._push_event(Event(EventType.FRAMES_OUT, data=len(outs)))
+        return outs
+
+    def feed_all(self, source: Iterable[VideoFrame]):
+        for frame in source:
+            yield from self.feed(frame)
+        self._push_event(Event(EventType.END_OF_STREAM))
+
+    # ---- events (mpv_wait_event analog) ----------------------------------
+
+    def _push_event(self, ev: Event):
+        with self._event_cv:
+            self._events.append(ev)
+            self._event_cv.notify_all()
+
+    def wait_event(self, timeout: Optional[float] = 0.0) -> Optional[Event]:
+        with self._event_cv:
+            if not self._events and timeout:
+                self._event_cv.wait(timeout)
+            return self._events.popleft() if self._events else None

@@ -267,6 +267,20 @@ class InterpolationEngine:
                  self.quality.max_radius - self.quality.min_radius + 1,
                  time.perf_counter() - t0)
 
+    def stage(self, frame: VideoFrame) -> VideoFrame:
+        """Start the async host->HBM copy for a frame and return a frame
+        whose planes are device arrays (BASELINE config #3: double-buffered
+        async uploads -- the reference blocks in clEnqueueWriteBuffer,
+        opticalFlowCalc.c:98-100).  jax.device_put returns immediately; the
+        transfer overlaps compute.  Call from a reader thread (the
+        pipeline's prefetcher does) so even the enqueue cost is off the
+        critical path."""
+        import dataclasses
+        if isinstance(frame.y, jax.Array):
+            return frame
+        return dataclasses.replace(frame, y=jax.device_put(frame.y),
+                                   uv=jax.device_put(frame.uv))
+
     def _upload(self, frame: VideoFrame) -> _DeviceFrame:
         u, v = split_chroma(frame.uv)
         return _DeviceFrame(jnp.asarray(frame.y), jnp.asarray(u),

@@ -31,10 +31,16 @@ _EOF = object()
 
 
 class _Prefetcher:
-    """Reader thread + bounded frame queue (demux-thread analog)."""
+    """Reader thread + bounded frame queue (demux-thread analog).
 
-    def __init__(self, source: Iterable[VideoFrame], depth: int = 4):
+    With a `stage` callable (engine.stage), the async host->HBM upload is
+    started from this thread, so device copies overlap both decode and
+    compute -- the double-buffered upload pipeline of BASELINE config #3."""
+
+    def __init__(self, source: Iterable[VideoFrame], depth: int = 4,
+                 stage=None):
         self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._stage = stage
         self._thread = threading.Thread(target=self._run, args=(source,),
                                         daemon=True)
         self._stop = threading.Event()
@@ -45,6 +51,8 @@ class _Prefetcher:
             for frame in source:
                 if self._stop.is_set():
                     break
+                if self._stage is not None:
+                    frame = self._stage(frame)
                 self._q.put(frame)
         except Exception as e:   # surface decode errors at the consumer
             self._q.put(e)
@@ -73,12 +81,13 @@ class Pipeline:
     def __init__(self, source: Iterable[VideoFrame],
                  engine: InterpolationEngine, sink,
                  present: Optional[PresentClock] = None,
-                 prefetch: int = 4):
+                 prefetch: int = 4, stage_uploads: bool = True):
         self.source = source
         self.engine = engine
         self.sink = sink
         self.present = present
         self.prefetch = prefetch
+        self.stage_uploads = stage_uploads
         self.frames_in = 0
         self.frames_out = 0
         self._commands: "queue.Queue" = queue.Queue()
@@ -105,7 +114,9 @@ class Pipeline:
             pass
 
     def run(self, max_source_frames: Optional[int] = None):
-        reader = _Prefetcher(self.source, self.prefetch)
+        reader = _Prefetcher(self.source, self.prefetch,
+                             stage=self.engine.stage if self.stage_uploads
+                             else None)
         try:
             for frame in reader:
                 self._apply_commands()

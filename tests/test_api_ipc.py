@@ -1,0 +1,121 @@
+"""Player API, JSON IPC server, watch-later resume."""
+
+import json
+import os
+import socket
+import time
+
+import pytest
+
+from mpv_frame_interpolator_tpu.api import Player, PropertyError, EventType
+from mpv_frame_interpolator_tpu.control.ipc import IPCServer
+from mpv_frame_interpolator_tpu.pipeline import resume
+from mpv_frame_interpolator_tpu.pipeline.engine import EngineConfig
+from mpv_frame_interpolator_tpu.io import synthetic
+
+
+def make_player():
+    return Player(EngineConfig(scene_detection=False, auto_quality=False,
+                               measure_timing=False))
+
+
+class TestPlayerAPI:
+    def test_properties(self):
+        p = make_player()
+        assert p.get_property("speed") == 1.0
+        p.set_property("speed", 2.0)
+        assert p.get_property("speed") == 2.0
+        assert p.engine.cadence.playback_speed == 2.0
+        p.set_property("frame-output-mode", 3)
+        assert p.engine.frame_output_mode == 3
+        with pytest.raises(PropertyError):
+            p.get_property("nope")
+        with pytest.raises(PropertyError):
+            p.set_property("interpolation-state", "ACTIVE")
+
+    def test_radius_clamped(self):
+        p = make_player()
+        p.set_property("search-radius", 99)
+        assert p.get_property("search-radius") == 16
+        p.set_property("search-radius", 1)
+        assert p.get_property("search-radius") == 5
+
+    def test_observers_and_events(self, small_cfg):
+        p = make_player()
+        seen = []
+        p.observe_property("speed", lambda n, v: seen.append(v))
+        p.set_property("speed", 0.5)
+        assert seen == [1.0, 0.5]
+        # 0.5x speed halves the effective source rate: 5 outputs per source
+        outs = list(p.feed_all(synthetic.moving_box(small_cfg, 3)))
+        assert len(outs) == 1 + 5 + 5
+        types = set()
+        while True:
+            ev = p.wait_event()
+            if ev is None:
+                break
+            types.add(ev.type)
+        assert EventType.FRAMES_OUT in types
+        assert EventType.END_OF_STREAM in types
+
+    def test_applet_code_command(self):
+        p = make_player()
+        p.command("applet-code", 5)   # HSVFlow
+        assert p.get_property("frame-output-mode") == 3
+
+
+class TestIPC:
+    def test_json_protocol(self, tmp_path):
+        p = make_player()
+        sock_path = str(tmp_path / "ipc.sock")
+        srv = IPCServer(sock_path, p)
+        srv.start()
+        try:
+            c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+            c.connect(sock_path)
+            f = c.makefile("rwb")
+
+            def rpc(obj):
+                f.write((json.dumps(obj) + "\n").encode())
+                f.flush()
+                return json.loads(f.readline())
+
+            r = rpc({"command": ["get_property", "speed"]})
+            assert r == {"error": "success", "data": 1.0}
+            r = rpc({"command": ["set_property", "speed", 2.5],
+                     "request_id": 7})
+            assert r["error"] == "success" and r["request_id"] == 7
+            assert p.get_property("speed") == 2.5
+            r = rpc({"command": ["observe_property", 1, "search-radius"]})
+            assert r["error"] == "success"
+            # initial observer push arrives as an event line
+            ev = json.loads(f.readline())
+            assert ev["event"] == "property-change"
+            assert ev["name"] == "search-radius"
+            r = rpc({"command": ["get_property", "bogus"]})
+            assert r["error"] != "success"
+            c.close()
+        finally:
+            srv.stop()
+
+
+class TestResume:
+    def test_roundtrip(self, tmp_path):
+        d = str(tmp_path / "wl")
+        path = resume.save("/media/movie.mkv", 123.456,
+                           {"speed": 2.0, "search-radius": 9}, d)
+        assert os.path.exists(path)
+        state = resume.load("/media/movie.mkv", d)
+        assert state["start"] == pytest.approx(123.456)
+        assert state["speed"] == 2.0
+        assert state["search-radius"] == 9
+        p = make_player()
+        pos = resume.apply_to_player(p, state)
+        assert pos == pytest.approx(123.456)
+        assert p.get_property("speed") == 2.0
+        assert p.get_property("search-radius") == 9
+        resume.forget("/media/movie.mkv", d)
+        assert resume.load("/media/movie.mkv", d) is None
+
+    def test_missing_is_none(self, tmp_path):
+        assert resume.load("/nope.mkv", str(tmp_path)) is None
