@@ -53,8 +53,10 @@ class PropertyError(KeyError):
 class Player:
     """Command/property/event surface over one InterpolationEngine."""
 
-    def __init__(self, config: Optional[EngineConfig] = None):
-        self.engine = InterpolationEngine(config)
+    def __init__(self, config: Optional[EngineConfig] = None,
+                 engine: Optional[InterpolationEngine] = None):
+        self.engine = engine if engine is not None \
+            else InterpolationEngine(config)
         self._observers: Dict[str, List[Callable[[str, Any], None]]] = {}
         self._events: "collections.deque[Event]" = collections.deque(maxlen=1024)
         self._event_cv = threading.Condition()

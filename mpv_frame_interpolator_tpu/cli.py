@@ -82,6 +82,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--applet-fifo", default="",
                    help="serve the HopperRender settings-applet protocol on "
                         "this FIFO path (e.g. /tmp/hopperrender)")
+    p.add_argument("--ipc-server", default="",
+                   help="serve JSON IPC on this unix socket path "
+                        "(mpv --input-ipc-server analog)")
+    p.add_argument("--profile-dir", default="",
+                   help="capture a jax.profiler device trace into this dir")
     p.add_argument("-v", "--verbose", action="count", default=0)
     return p
 
@@ -171,13 +176,29 @@ def main(argv=None) -> int:
         from mpv_frame_interpolator_tpu.control.applet import AppletServer
         applet = AppletServer(args.applet_fifo, engine)
         applet.start()
+    ipc = None
+    if args.ipc_server:
+        from mpv_frame_interpolator_tpu.api import Player
+        from mpv_frame_interpolator_tpu.control.ipc import IPCServer
+        ipc = IPCServer(args.ipc_server, Player(engine=engine))
+        ipc.start()
+
+    profile_ctx = None
+    if args.profile_dir:
+        from mpv_frame_interpolator_tpu.utils.trace import device_trace
+        profile_ctx = device_trace(args.profile_dir)
+        profile_ctx.__enter__()
 
     t0 = time.perf_counter()
     try:
         n = pipe.run(max_source_frames=args.frames or None)
     finally:
+        if profile_ctx:
+            profile_ctx.__exit__(None, None, None)
         if applet:
             applet.stop()
+        if ipc:
+            ipc.stop()
     dt = time.perf_counter() - t0
     s = engine.stats.summary().get("source_frame_time", {})
     log.info("%d source -> %d output frames in %.2fs (%.1f out-fps); "

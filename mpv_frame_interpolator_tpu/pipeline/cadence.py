@@ -28,6 +28,13 @@ from typing import List, Optional
 DEFAULT_SOURCE_FPS = 24000.0 / 1001.0   # vf_HopperRender.c:689
 PTS_DRIFT_LIMIT = 0.05                  # vf_HopperRender.c:470
 
+# Safety cap absent in the reference: a corrupt nominal_fps (e.g. 1e-9 from
+# broken container metadata) would make numIntFrames explode
+# (vf_HopperRender.c:481 has no bound) and wedge the pipeline emitting
+# millions of intermediates for one source frame.  No sane display/source
+# combination exceeds this.
+MAX_INT_FRAMES = 128
+
 
 class InterpolationState(enum.Enum):
     DEACTIVATED = 0
@@ -131,9 +138,11 @@ class CadenceEngine:
                 self.inconsistent_timings = True
                 self.current_output_pts = pts
 
-        # outputs per source frame (vf_HopperRender.c:481)
+        # outputs per source frame (vf_HopperRender.c:481), safety-capped
         ratio = self.target_frame_time / self.source_frame_time
-        self.num_int_frames = int(max(math.ceil((1.0 - self.blending_scalar) / ratio), 1.0))
+        self.num_int_frames = int(min(
+            max(math.ceil((1.0 - self.blending_scalar) / ratio), 1.0),
+            MAX_INT_FRAMES))
 
         outputs: List[OutputSlot] = []
         if self.source_frame_num >= 2:
