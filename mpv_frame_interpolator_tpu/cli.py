@@ -61,6 +61,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="output mode: warp12|warp21|blend|hsv|grey|sbs1|sbs2 "
                         "or FrameOutput integer 0-6 (vf_HopperRender.c:21)")
     p.add_argument("--speed", type=float, default=1.0, help="playback speed")
+    p.add_argument("--model", default="hopper",
+                   help="interpolator family: hopper|blend|repeat")
     p.add_argument("--search-radius", type=int, default=5,
                    help="initial optical-flow search radius [5..16]")
     p.add_argument("--no-auto-quality", action="store_true",
@@ -151,6 +153,7 @@ def main(argv=None) -> int:
         num_iterations=args.num_iterations,
         playback_speed=args.speed,
         precompile=args.precompile,
+        model=args.model,
     )
     engine = InterpolationEngine(config)
     if args.speed != 1.0:

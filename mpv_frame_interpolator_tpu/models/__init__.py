@@ -1,0 +1,27 @@
+"""Interpolator model families.
+
+The reference ships exactly one interpolation algorithm (HopperRender's
+hierarchical block-matching flow).  The rebuild formalizes the slot so the
+engine can swap families:
+
+  hopper  -- the flagship: hierarchical block-matching optical flow +
+             bidirectional warp (ops/flow.py + ops/warp.py), reference-
+             parity semantics
+  blend   -- zero-flow cross-fade (what BlendedFrame degenerates to with a
+             null flow field); cheap fallback under load
+  repeat  -- nearest-source snap (classic player cadence without
+             interpolation; also the scene-cut behavior)
+
+All three ride the same fused source-step dispatch; `blend` and `repeat`
+simply force the flow field / blend positions, so they share the warp's
+levels/output-mode semantics and cost almost nothing extra to compile.
+"""
+
+MODELS = ("hopper", "blend", "repeat")
+
+
+def validate(name: str) -> str:
+    if name not in MODELS:
+        raise ValueError(f"unknown interpolator model {name!r}; "
+                         f"choose from {MODELS}")
+    return name

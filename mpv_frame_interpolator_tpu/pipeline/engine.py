@@ -62,6 +62,7 @@ class EngineConfig:
     playback_speed: float = 1.0
     precompile: bool = False         # compile all search radii at init
     compilation_cache_dir: str = ""  # persistent jit cache ("" = disabled)
+    model: str = "hopper"            # interpolator family (models/)
 
 
 class OutputFrame:
@@ -109,7 +110,7 @@ class _DeviceFrame:
 @functools.lru_cache(maxsize=128)
 def _make_source_step(geom: FlowGeometry, radius: int, mode: int,
                       scale_shift: int, cut_policy: str,
-                      scene_enabled: bool):
+                      scene_enabled: bool, model: str = "hopper"):
     """ONE fused device dispatch per source pair: scene-cut score ->
     hierarchical flow -> N batched warps -> NV12 re-interleave.
 
@@ -135,8 +136,14 @@ def _make_source_step(geom: FlowGeometry, radius: int, mode: int,
             cut_score = jnp.float32(0.0)
             cut = jnp.asarray(False)
 
-        offset, blurred = _flow_impl(geom, radius, scale_shift,
-                                     f1y, f1u, f1v, f2y, f2u, f2v, ds, nbs)
+        if model == "hopper":
+            offset, blurred = _flow_impl(geom, radius, scale_shift,
+                                         f1y, f1u, f1v, f2y, f2u, f2v,
+                                         ds, nbs)
+        else:
+            # blend / repeat families: null flow field (models/__init__.py)
+            offset = jnp.zeros((2, geom.low_h, geom.low_w), jnp.int32)
+            blurred = offset
 
         blurred_w = jnp.where(cut, jnp.zeros_like(blurred), blurred)
         if cut_policy == "nearest":
@@ -144,6 +151,10 @@ def _make_source_step(geom: FlowGeometry, radius: int, mode: int,
         else:  # hold the previous frame
             ts_cut = jnp.zeros_like(ts)
         ts_w = jnp.where(cut, ts_cut, ts)
+        if model == "repeat":
+            # nearest-source snap at every position (cadence without
+            # interpolation -- what a plain player displays)
+            ts_w = jnp.where(ts_w >= 0.5, 1.0, 0.0).astype(jnp.float32)
 
         if mode in (warp_ops.SIDE_BY_SIDE_1, warp_ops.SIDE_BY_SIDE_2):
             def one(t):
@@ -169,6 +180,8 @@ def _make_source_step(geom: FlowGeometry, radius: int, mode: int,
 class InterpolationEngine:
     def __init__(self, config: Optional[EngineConfig] = None):
         self.config = config or EngineConfig()
+        from mpv_frame_interpolator_tpu import models as _models
+        _models.validate(self.config.model)
         self.cadence = CadenceEngine(self.config.display_fps,
                                      self.config.playback_speed)
         self.quality = QualityController(
@@ -253,7 +266,8 @@ class InterpolationEngine:
                                      self.frame_output_mode,
                                      self._scale_shift,
                                      self.config.cut_policy,
-                                     self.scene.enabled)
+                                     self.scene.enabled,
+                                     self.config.model)
             for n in sizes:
                 last = step(zy, zc, zc, zy, zc, zc,
                             jnp.zeros((n,), jnp.float32),
@@ -324,7 +338,8 @@ class InterpolationEngine:
 
         step = _make_source_step(self.geom, self.quality.search_radius,
                                  self.frame_output_mode, self._scale_shift,
-                                 self.config.cut_policy, self.scene.enabled)
+                                 self.config.cut_policy, self.scene.enabled,
+                                 self.config.model)
         out_fmt = self._out_fmt()
         ts = jnp.asarray([slot.blend for slot in plan.outputs], jnp.float32)
         y, uv, blurred, cut_score = step(

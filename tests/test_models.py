@@ -1,0 +1,96 @@
+"""Interpolator model families: hopper facade, blend and repeat fallbacks."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from mpv_frame_interpolator_tpu import models
+from mpv_frame_interpolator_tpu.models.hopper import HopperModel
+from mpv_frame_interpolator_tpu.ops import oracle
+from mpv_frame_interpolator_tpu.pipeline.engine import (
+    EngineConfig, InterpolationEngine)
+from mpv_frame_interpolator_tpu.io import synthetic
+
+from conftest import frame_pair, planar
+
+
+def eng(**kw):
+    kw.setdefault("scene_detection", False)
+    kw.setdefault("auto_quality", False)
+    kw.setdefault("measure_timing", False)
+    return InterpolationEngine(EngineConfig(**kw))
+
+
+class TestRegistry:
+    def test_validate(self):
+        assert models.validate("hopper") == "hopper"
+        with pytest.raises(ValueError):
+            models.validate("nope")
+        with pytest.raises(ValueError):
+            eng(model="bogus")
+
+
+class TestHopperModel:
+    def test_facade_matches_oracle(self, small_cfg):
+        f1, f2 = frame_pair(small_cfg)
+        m = HopperModel.for_frame(f1.fmt.height, f1.fmt.width,
+                                  search_radius=6)
+        a = [jnp.asarray(x) for x in (*planar(f1), *planar(f2))]
+        off, blur = m.analyze(*a)
+        off_ref, blur_ref = oracle.calculate_optical_flow(
+            f1.y, f1.uv, f2.y, f2.uv, search_radius=6,
+            res_scalar=m.geom.res_scalar, lh=m.geom.low_h, lw=m.geom.low_w)
+        np.testing.assert_array_equal(off_ref.astype(np.int32),
+                                      np.asarray(off))
+        y, u, v = m.synthesize(*a, blur, 0.4)
+        ry, _ = oracle.warp_frame(f1.y, f1.uv, f2.y, f2.uv, blur_ref, 0.4,
+                                  oracle.BLENDED_FRAME, m.geom.res_scalar,
+                                  m.geom.actual_width)
+        np.testing.assert_array_equal(ry, np.asarray(y))
+
+    def test_interpolate_batch(self, small_cfg):
+        f1, f2 = frame_pair(small_cfg)
+        m = HopperModel.for_frame(f1.fmt.height, f1.fmt.width)
+        a = [jnp.asarray(x) for x in (*planar(f1), *planar(f2))]
+        y, u, v = m.interpolate(*a, ts=[0.0, 0.25, 0.5, 0.75])
+        assert y.shape[0] == 4 and u.shape == (4, 24, 32)
+
+
+class TestFallbackModels:
+    def test_blend_is_zero_flow_crossfade(self, small_cfg):
+        e = eng(model="blend")
+        frames = list(synthetic.moving_box(small_cfg, 3))
+        outs = []
+        for f in frames:
+            outs.extend(e.push(f))
+        geom = e.geom
+        zero = np.zeros((2, geom.low_h, geom.low_w), np.int16)
+        ry, _ = oracle.warp_frame(frames[0].y, frames[0].uv, frames[1].y,
+                                  frames[1].uv, zero, 0.4,
+                                  oracle.BLENDED_FRAME, geom.res_scalar,
+                                  geom.actual_width)
+        got = outs[2].to_video_frame()   # second output of pair 1: t=0.4
+        np.testing.assert_array_equal(ry, got.y)
+
+    def test_repeat_outputs_source_frames(self, small_cfg):
+        e = eng(model="repeat")
+        frames = list(synthetic.moving_box(small_cfg, 3))
+        outs = []
+        for f in frames:
+            outs.extend(e.push(f))
+        geom = e.geom
+        zero = np.zeros((2, geom.low_h, geom.low_w), np.int16)
+        # t=0.4 snaps to 0.0 -> frame1 (through levels)
+        ry, _ = oracle.warp_frame(frames[0].y, frames[0].uv, frames[1].y,
+                                  frames[1].uv, zero, 0.0,
+                                  oracle.BLENDED_FRAME, geom.res_scalar,
+                                  geom.actual_width)
+        got = outs[2].to_video_frame()
+        np.testing.assert_array_equal(ry, got.y)
+        # t=0.8 snaps to 1.0 -> frame2
+        ry2, _ = oracle.warp_frame(frames[0].y, frames[0].uv, frames[1].y,
+                                   frames[1].uv, zero, 1.0,
+                                   oracle.BLENDED_FRAME, geom.res_scalar,
+                                   geom.actual_width)
+        got2 = outs[3].to_video_frame()
+        np.testing.assert_array_equal(ry2, got2.y)
