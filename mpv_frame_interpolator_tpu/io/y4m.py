@@ -66,7 +66,11 @@ class Y4MReader:
             self.pixfmt = P010
         else:
             raise Y4MError(f"unsupported colorspace C{cs} (need 4:2:0)")
-        self.fmt = FrameFormat(self.width, self.height, self.pixfmt)
+        # 4:2:0 y4m streams always carry even dimensions, but be defensive:
+        # crop odd sizes down (the engine requires even geometry)
+        self._crop_w = self.width & ~1
+        self._crop_h = self.height & ~1
+        self.fmt = FrameFormat(self._crop_w, self._crop_h, self.pixfmt)
         self._pts = start_pts
         self._dt = 1.0 / self.fps if self.fps > 0 else 1.0 / 24.0
 
@@ -93,6 +97,10 @@ class Y4MReader:
                 y = (y.astype(np.uint16) << 6)
                 u = (u.astype(np.uint16) << 6)
                 v = (v.astype(np.uint16) << 6)
+            if (self._crop_w, self._crop_h) != (w, h):
+                y = y[:self._crop_h, :self._crop_w]
+                u = u[:self._crop_h // 2, :self._crop_w // 2]
+                v = v[:self._crop_h // 2, :self._crop_w // 2]
             frame = VideoFrame(np.ascontiguousarray(y),
                                interleave_chroma(u, v), self.fmt,
                                pts=self._pts, nominal_fps=self.fps)

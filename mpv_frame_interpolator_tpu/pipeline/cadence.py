@@ -106,11 +106,18 @@ class CadenceEngine:
 
     # ---- per-source-frame planning ---------------------------------------
 
-    def on_source_frame(self, pts: float, nominal_fps: float) -> SourcePlan:
+    def on_source_frame(self, pts: float, nominal_fps: float,
+                        first_frame_interpolates: bool = False) -> SourcePlan:
         """Plan the outputs for one incoming source frame.
 
         Mirrors vf_HopperRender_process_new_source_frame
-        (vf_HopperRender.c:412-505) minus the device work."""
+        (vf_HopperRender.c:412-505) minus the device work.
+
+        first_frame_interpolates reproduces the SideBySide2 special case
+        (vf_HopperRender.c:495: that mode interpolates even on source frame
+        1, so the layout is visible immediately); the engine pairs the
+        first frame with itself there instead of reading an uninitialized
+        device buffer like the reference does."""
         if nominal_fps > 0.0:
             self.source_fps = nominal_fps
         self.source_frame_time = 1.0 / (self.source_fps * self.playback_speed)
@@ -145,7 +152,7 @@ class CadenceEngine:
             MAX_INT_FRAMES))
 
         outputs: List[OutputSlot] = []
-        if self.source_frame_num >= 2:
+        if self.source_frame_num >= 2 or first_frame_interpolates:
             # first output replaces the source frame (vf:495-500)
             outputs.append(OutputSlot(self.current_output_pts,
                                       self.blending_scalar, True))
@@ -155,7 +162,7 @@ class CadenceEngine:
                 outputs.append(OutputSlot(self.current_output_pts,
                                           self.blending_scalar, False))
                 self._advance_blend()
-            return SourcePlan(False, True, outputs,
+            return SourcePlan(False, self.source_frame_num >= 2, outputs,
                               inconsistent_detected=inconsistent_detected)
 
         # first frame ever: emitted unmodified, but pts already rewritten

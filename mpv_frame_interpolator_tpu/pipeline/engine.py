@@ -309,7 +309,9 @@ class InterpolationEngine:
     def push(self, frame: VideoFrame) -> List[OutputFrame]:
         """Process one source frame; returns the output frames due."""
         self._ensure_geometry(frame)
-        plan = self.cadence.on_source_frame(frame.pts, frame.nominal_fps)
+        sbs2 = self.frame_output_mode == warp_ops.SIDE_BY_SIDE_2
+        plan = self.cadence.on_source_frame(frame.pts, frame.nominal_fps,
+                                            first_frame_interpolates=sbs2)
         if plan.inconsistent_detected:
             log.warning("Inconsistent frame timings detected. Using less "
                         "accurate frame timing method to maintain A/V sync.")
@@ -335,6 +337,9 @@ class InterpolationEngine:
         self._prev = self._cur
         self._cur = self._upload(frame)
         f1, f2 = self._prev, self._cur
+        if f1 is None:
+            # first-frame interpolation (SideBySide2): pair with itself
+            f1 = f2
 
         step = _make_source_step(self.geom, self.quality.search_radius,
                                  self.frame_output_mode, self._scale_shift,

@@ -81,13 +81,19 @@ class Pipeline:
     def __init__(self, source: Iterable[VideoFrame],
                  engine: InterpolationEngine, sink,
                  present: Optional[PresentClock] = None,
-                 prefetch: int = 4, stage_uploads: bool = True):
+                 prefetch: int = 4, stage_uploads: bool = True,
+                 fail_open: bool = True):
         self.source = source
         self.engine = engine
         self.sink = sink
         self.present = present
         self.prefetch = prefetch
         self.stage_uploads = stage_uploads
+        # filter-failure semantics (filters/filter.h:359-362 +
+        # vf_HopperRender.c ERR_CHECK): a failed filter drops out of the
+        # chain and playback continues with source frames passed through
+        self.fail_open = fail_open
+        self.engine_failed = False
         self.frames_in = 0
         self.frames_out = 0
         self._commands: "queue.Queue" = queue.Queue()
@@ -120,7 +126,21 @@ class Pipeline:
         try:
             for frame in reader:
                 self._apply_commands()
-                outs = self.engine.push(frame)
+                if self.engine_failed:
+                    outs = [OutputFrame(frame.pts, frame.fmt, frame.y,
+                                        frame.uv, host=True)]
+                else:
+                    try:
+                        outs = self.engine.push(frame)
+                    except Exception:
+                        if not self.fail_open:
+                            raise
+                        log.exception(
+                            "interpolation engine failed; passing source "
+                            "frames through (filter-failure semantics)")
+                        self.engine_failed = True
+                        outs = [OutputFrame(frame.pts, frame.fmt, frame.y,
+                                            frame.uv, host=True)]
                 self.frames_in += 1
                 for out in outs:
                     if self.present is not None:

@@ -133,3 +133,17 @@ class TestEngineE2E:
             e16.push(f16)
         np.testing.assert_array_equal(np.asarray(e8._blurred),
                                       np.asarray(e16._blurred))
+
+
+class TestSbs2FirstFrame:
+    def test_sbs2_interpolates_first_frame(self, small_cfg):
+        # SideBySide2 interpolates from source frame 1
+        # (vf_HopperRender.c:495); pair = frame with itself -> zero flow
+        eng = make_engine(frame_output_mode=6)
+        frames = list(synthetic.moving_box(small_cfg, 2))
+        outs1 = eng.push(frames[0])
+        assert len(outs1) == 3   # full cadence slots, not a passthrough
+        got = outs1[0].to_video_frame()
+        assert got.fmt.width == frames[0].fmt.width
+        outs2 = eng.push(frames[1])
+        assert len(outs2) == 2   # blending scalar advanced on frame 1

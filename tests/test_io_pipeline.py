@@ -167,3 +167,34 @@ class TestAppletProtocol:
         assert lines[0].startswith("Search Radius: ")
         assert lines[1] == "Calc Res: 64x48"
         assert len(lines) == 17  # 7 stat lines + 10 warp slots
+
+
+class TestFailOpen:
+    def test_engine_failure_passes_through(self, small_cfg, monkeypatch):
+        e = eng()
+        boom = {"n": 0}
+        orig = e.push
+
+        def flaky(frame):
+            boom["n"] += 1
+            if boom["n"] == 2:
+                raise RuntimeError("device fell over")
+            return orig(frame)
+
+        monkeypatch.setattr(e, "push", flaky)
+        src = synthetic.moving_box(small_cfg, 4)
+        sink = sinks.NullSink()
+        pipe = Pipeline(src, e, sink)
+        n = pipe.run()
+        assert pipe.engine_failed
+        # frame 1 passthrough + frames 2..4 passed through after failure
+        assert n == 4
+
+    def test_fail_closed_raises(self, small_cfg, monkeypatch):
+        e = eng()
+        monkeypatch.setattr(e, "push",
+                            lambda f: (_ for _ in ()).throw(RuntimeError("x")))
+        pipe = Pipeline(synthetic.moving_box(small_cfg, 2), e,
+                        sinks.NullSink(), fail_open=False)
+        with pytest.raises(RuntimeError):
+            pipe.run()
