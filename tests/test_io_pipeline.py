@@ -198,3 +198,77 @@ class TestFailOpen:
                         sinks.NullSink(), fail_open=False)
         with pytest.raises(RuntimeError):
             pipe.run()
+
+
+class TestY4MFuzz:
+    """Parser robustness (the reference fuzzes demuxers with libFuzzer,
+    meson.build:398-405; same spirit, in-process)."""
+
+    @pytest.mark.parametrize("blob", [
+        b"", b"\x00" * 64, b"YUV4MPEG2\n", b"YUV4MPEG2 W0 H0 F24:1\n",
+        b"YUV4MPEG2 W64 H48 F0:0 C420\nFRAME\n",
+        b"YUV4MPEG2 W64 H48 F24:1 C444\n",
+        b"YUV4MPEG2 W-3 H48 F24:1\n",
+        b"YUV4MPEG2 W64 H48 F24:1 Cgarbage\n",
+        b"NOTAY4M W64 H48\n",
+    ])
+    def test_garbage_headers_raise_cleanly(self, blob):
+        from mpv_frame_interpolator_tpu.io.y4m import Y4MError
+        try:
+            frames = list(Y4MReader(io.BytesIO(blob)))
+            # headers that parse but carry no/short frames yield nothing
+            assert frames == [] or all(f.fmt.width > 0 for f in frames)
+        except (Y4MError, ValueError):
+            pass  # clean, typed failure
+
+    def test_truncated_frame_payload(self):
+        blob = b"YUV4MPEG2 W64 H48 F24:1 C420\nFRAME\n" + b"\x55" * 100
+        frames = list(Y4MReader(io.BytesIO(blob)))
+        assert frames == []
+
+    def test_bad_frame_marker(self):
+        blob = (b"YUV4MPEG2 W64 H48 F24:1 C420\nJUNK\n" + b"\x55" * 4608)
+        from mpv_frame_interpolator_tpu.io.y4m import Y4MError
+        with pytest.raises(Y4MError):
+            list(Y4MReader(io.BytesIO(blob)))
+
+
+class TestConcurrentControl:
+    def test_ipc_properties_during_playback(self, small_cfg, tmp_path):
+        import json as _json
+        import socket as _socket
+        import threading
+        from mpv_frame_interpolator_tpu.api import Player
+        from mpv_frame_interpolator_tpu.control.ipc import IPCServer
+
+        e = eng()
+        player = Player(engine=e)
+        sock_path = str(tmp_path / "c.sock")
+        srv = IPCServer(sock_path, player)
+        srv.start()
+        errors = []
+
+        def hammer():
+            try:
+                c = _socket.socket(_socket.AF_UNIX, _socket.SOCK_STREAM)
+                c.connect(sock_path)
+                f = c.makefile("rwb")
+                for i in range(30):
+                    f.write((_json.dumps({"command": [
+                        "set_property", "search-radius", 5 + i % 12]})
+                        + "\n").encode())
+                    f.flush()
+                    _json.loads(f.readline())
+                c.close()
+            except Exception as ex:  # pragma: no cover
+                errors.append(ex)
+
+        t = threading.Thread(target=hammer)
+        t.start()
+        outs = []
+        for f in synthetic.moving_box(small_cfg, 6):
+            outs.extend(e.push(f))
+        t.join()
+        srv.stop()
+        assert not errors
+        assert len(outs) >= 6
