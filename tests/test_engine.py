@@ -147,3 +147,25 @@ class TestSbs2FirstFrame:
         assert got.fmt.width == frames[0].fmt.width
         outs2 = eng.push(frames[1])
         assert len(outs2) == 2   # blending scalar advanced on frame 1
+
+
+class TestGeometrySwitch:
+    def test_resolution_change_reinits(self, small_cfg):
+        eng = make_engine()
+        outs = run(eng, list(synthetic.moving_box(small_cfg, 3)))
+        assert len(outs) == 6
+        big = synthetic.SyntheticConfig(width=128, height=96, fps=24.0)
+        outs2 = run(eng, list(synthetic.moving_box(big, 3)))
+        # new geometry: frame 1 is a fresh anchor passthrough
+        assert len(outs2) == 6
+        assert eng.geom.actual_width == 128
+        f = outs2[-1].to_video_frame()
+        assert f.fmt.width == 128
+
+    def test_pixfmt_change_reinits(self, small_cfg):
+        eng = make_engine()
+        run(eng, list(synthetic.moving_box(small_cfg, 2)))
+        p10 = synthetic.SyntheticConfig(width=64, height=48, fps=24.0,
+                                        pixfmt="p010")
+        outs = run(eng, list(synthetic.moving_box(p10, 2)))
+        assert outs[-1].to_video_frame().y.dtype == np.uint16

@@ -272,3 +272,22 @@ class TestConcurrentControl:
         srv.stop()
         assert not errors
         assert len(outs) >= 6
+
+
+class TestPsnrSink:
+    def test_psnr_against_known_reference(self, small_cfg):
+        # feed identical frames; every warp output is compared against the
+        # source -> near-lossless (modulo level-mapping truncation)
+        frames = list(synthetic.moving_box(small_cfg, 3))
+        e = eng()
+        outs = []
+        for f in frames:
+            outs.extend(e.push(f))
+        ref_frames = [frames[0]] + [frames[i] for i in (0, 0, 0, 1, 1)]
+        sink = sinks.PsnrSink(lambda i, pts: ref_frames[i])
+        for o in outs:
+            sink.write(o)
+        assert len(sink.values) == 6
+        # outputs interpolate between references; min PSNR still far above
+        # noise (static-ish box source)
+        assert sink.min > 15.0
