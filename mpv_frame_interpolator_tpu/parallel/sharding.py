@@ -53,7 +53,10 @@ def sharded_flow_fn(geom: FlowGeometry, radius: int, mesh: Mesh,
     r_local = radius // n_dev
     lh, lw = geom.low_h, geom.low_w
 
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
 
     def layer_slice_sums(z0, window, iteration, step, off_x, off_y,
                          f1y, f1u, f1v, f2_probe, ds, nbs):
