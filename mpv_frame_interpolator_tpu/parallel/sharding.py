@@ -143,7 +143,7 @@ def sharded_flow_fn(geom: FlowGeometry, radius: int, mesh: Mesh,
                     shard_body, mesh=mesh,
                     in_specs=(P(), P(), P(), P(), P(), (P(), P(), P())),
                     out_specs=P(),
-                    check_rep=False,
+                    check_vma=False,
                 )(off_x, off_y, f1y, f1u, f1v, f2_probe)
 
                 rel = winner - radius // 2
