@@ -108,3 +108,16 @@ class TestFlowSemantics:
         ref = oracle.blur_flow(field)
         jx = np.asarray(blur_flow(jnp.asarray(field), 17, 23))
         np.testing.assert_array_equal(ref, jx)
+
+
+class TestStridedFrames:
+    """stride > encoded width (mp_image layouts; vf_HopperRender.c:446
+    passes stride as frameWidth and the encoded width as actualWidth)."""
+
+    def test_flow_with_padding(self):
+        from mpv_frame_interpolator_tpu.io.synthetic import SyntheticConfig
+        cfg = SyntheticConfig(width=64, height=48, stride=80)
+        geom, off_ref, blur_ref, off_jax, blur_jax = _run_both(cfg, radius=7)
+        assert geom.stride == 80 and geom.actual_width == 64
+        np.testing.assert_array_equal(off_ref.astype(np.int32), off_jax)
+        np.testing.assert_array_equal(blur_ref.astype(np.int32), blur_jax)

@@ -78,3 +78,12 @@ class TestWarpGolden:
     def test_pyramid_geometry(self, pyramid_cfg):
         f1, f2, geom, blur = _setup(pyramid_cfg, "gradient_pan", radius=6)
         _compare(f1, f2, geom, blur, oracle.BLENDED_FRAME, 0.6)
+
+
+class TestStridedWarp:
+    def test_warp_with_padding(self):
+        from mpv_frame_interpolator_tpu.io.synthetic import SyntheticConfig
+        cfg = SyntheticConfig(width=64, height=48, stride=80)
+        f1, f2, geom, blur = _setup(cfg)
+        assert geom.stride == 80 and geom.actual_width == 64
+        _compare(f1, f2, geom, blur, oracle.BLENDED_FRAME, 0.35)
