@@ -121,3 +121,16 @@ class TestStridedFrames:
         assert geom.stride == 80 and geom.actual_width == 64
         np.testing.assert_array_equal(off_ref.astype(np.int32), off_jax)
         np.testing.assert_array_equal(blur_ref.astype(np.int32), blur_jax)
+
+
+class TestDeviceMetrics:
+    def test_psnr_device_matches_host(self):
+        from mpv_frame_interpolator_tpu.ops.metrics import psnr_device
+        from mpv_frame_interpolator_tpu.frame import psnr_arrays
+        rng = np.random.default_rng(0)
+        a = rng.integers(0, 255, (64, 64)).astype(np.uint8)
+        b = np.clip(a.astype(int) + rng.integers(-5, 5, a.shape), 0, 255).astype(np.uint8)
+        host = psnr_arrays(a, b, 255)
+        dev = float(psnr_device(jnp.asarray(a), jnp.asarray(b)))
+        assert abs(host - dev) < 0.01
+        assert float(psnr_device(jnp.asarray(a), jnp.asarray(a))) == 999.0
