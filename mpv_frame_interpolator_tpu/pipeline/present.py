@@ -43,6 +43,7 @@ class PresentClock:
         self._vsync_index = -1
         self._flips = deque(maxlen=history)   # vo.c: ring of 1000 samples
         self.drops = 0
+        self.skips = 0            # vsync_skip_detection analog (vo.c:451)
         self.presented = 0
         self._last_pts: Optional[float] = None
         self._pts0: Optional[float] = None
@@ -90,8 +91,14 @@ class PresentClock:
                     self.drops += 1
         if slot <= self._vsync_index:
             slot = self._vsync_index + 1  # never present two frames on one vblank
+        now2 = time.perf_counter()
+        if self._flips and not self.untimed:
+            # flip interval far beyond the refresh period = skipped vblanks
+            interval = now2 - self._flips[-1]
+            if interval > 1.5 * self.vsync_interval * max(num_vsyncs, 1):
+                self.skips += 1
         self._vsync_index = slot
-        self._flips.append(time.perf_counter())
+        self._flips.append(now2)
         self.presented += 1
         return PresentInfo(slot, num_vsyncs, target, late, dropped)
 
