@@ -49,6 +49,8 @@ class EngineConfig:
                                                      # (vf_HopperRender.c:716)
     auto_quality: bool = True                        # config.h:10
     initial_search_radius: int = 5                   # MIN_SEARCH_RADIUS
+    too_slow_patience: int = 3   # consecutive over-budget frames before
+                                 # TooSlow (1 = exact reference behavior)
     scene_detection: bool = True
     scene_threshold: float = 28.0
     cut_policy: str = "nearest"                      # "nearest" | "hold"
@@ -186,7 +188,8 @@ class InterpolationEngine:
                                      self.config.playback_speed)
         self.quality = QualityController(
             enabled=self.config.auto_quality,
-            search_radius=self.config.initial_search_radius)
+            search_radius=self.config.initial_search_radius,
+            too_slow_patience=self.config.too_slow_patience)
         self.scene = SceneChangeDetector(
             enabled=self.config.scene_detection,
             threshold=self.config.scene_threshold)

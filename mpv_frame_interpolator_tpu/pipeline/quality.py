@@ -27,6 +27,13 @@ class QualityController:
     max_radius: int = MAX_SEARCH_RADIUS
     upper_buffer: float = UPPER_PERF_BUFFER
     lower_buffer: float = LOWER_PERF_BUFFER
+    # The reference flips TooSlow on the FIRST over-budget frame at the
+    # floor radius (vf_HopperRender.c:330-337), so one scheduler hiccup
+    # permanently disables interpolation until a user command arrives.
+    # patience > 1 requires that many consecutive over-budget frames --
+    # set to 1 for exact reference behavior.
+    too_slow_patience: int = 3
+    _over_budget_streak: int = 0
 
     def update(self, calc_duration: float, cadence: CadenceEngine):
         """Feed the measured flow+warp duration for the previous source
@@ -43,8 +50,15 @@ class QualityController:
         if calc_duration * self.upper_buffer > sft:
             if self.search_radius > self.min_radius:
                 self.search_radius -= 1
+                self._over_budget_streak = 0
             else:
-                cadence.mark_too_slow()
+                self._over_budget_streak += 1
+                if self._over_budget_streak >= self.too_slow_patience:
+                    cadence.mark_too_slow()
+                    self._over_budget_streak = 0
         elif calc_duration * self.lower_buffer < sft:
+            self._over_budget_streak = 0
             if self.search_radius < self.max_radius:
                 self.search_radius += 1
+        else:
+            self._over_budget_streak = 0

@@ -169,3 +169,52 @@ class TestGeometrySwitch:
                                         pixfmt="p010")
         outs = run(eng, list(synthetic.moving_box(p10, 2)))
         assert outs[-1].to_video_frame().y.dtype == np.uint16
+
+
+class TestQualityController:
+    def _cad(self):
+        from mpv_frame_interpolator_tpu.pipeline.cadence import CadenceEngine
+        c = CadenceEngine(60.0)
+        c.on_source_frame(0.0, 24.0)
+        return c
+
+    def test_decrements_then_too_slow_with_patience(self):
+        from mpv_frame_interpolator_tpu.pipeline.quality import QualityController
+        c = self._cad()
+        q = QualityController(search_radius=7, too_slow_patience=3)
+        slow = c.source_frame_time  # way over budget (x1.4 > sft)
+        q.update(slow, c)
+        assert q.search_radius == 6
+        q.update(slow, c)
+        assert q.search_radius == 5
+        q.update(slow, c)  # streak 1
+        q.update(slow, c)  # streak 2
+        assert c.state.name == "ACTIVE"
+        q.update(slow, c)  # streak 3 -> TooSlow
+        assert c.state.name == "TOO_SLOW"
+
+    def test_hiccup_does_not_disable(self):
+        from mpv_frame_interpolator_tpu.pipeline.quality import QualityController
+        c = self._cad()
+        q = QualityController(search_radius=5, too_slow_patience=3)
+        fast = c.source_frame_time / 10
+        q.update(c.source_frame_time, c)   # one hiccup at floor
+        q.update(fast, c)
+        q.update(c.source_frame_time, c)
+        q.update(fast, c)
+        assert c.state.name == "ACTIVE"
+
+    def test_reference_parity_patience_1(self):
+        from mpv_frame_interpolator_tpu.pipeline.quality import QualityController
+        c = self._cad()
+        q = QualityController(search_radius=5, too_slow_patience=1)
+        q.update(c.source_frame_time, c)
+        assert c.state.name == "TOO_SLOW"
+
+    def test_recovers_radius_upward(self):
+        from mpv_frame_interpolator_tpu.pipeline.quality import QualityController
+        c = self._cad()
+        q = QualityController(search_radius=5)
+        for _ in range(20):
+            q.update(c.source_frame_time / 10, c)
+        assert q.search_radius == 16
