@@ -63,7 +63,9 @@ class EngineConfig:
     measure_timing: bool = True                      # feed quality controller
     playback_speed: float = 1.0
     precompile: bool = False         # compile all search radii at init
-    compilation_cache_dir: str = ""  # persistent jit cache ("" = disabled)
+    # persistent jit cache; measured 133s -> 11s cold starts on the axon
+    # TPU for the 1080p flow program ("" disables)
+    compilation_cache_dir: str = "~/.cache/mfi_tpu/jax"
     model: str = "hopper"            # interpolator family (models/)
 
 
@@ -210,9 +212,12 @@ class InterpolationEngine:
         self._last_cut_score = None
         self._warm = set()           # (radius, mode) specializations executed
         if self.config.compilation_cache_dir:
-            import jax as _jax
-            _jax.config.update("jax_compilation_cache_dir",
-                               self.config.compilation_cache_dir)
+            import os as _os
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                _os.path.expanduser(self.config.compilation_cache_dir))
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              2.0)
 
     # ------------------------------------------------------------------ #
 
