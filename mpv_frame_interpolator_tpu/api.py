@@ -23,7 +23,7 @@ import threading
 from typing import Any, Callable, Dict, Iterable, List, Optional
 
 from mpv_frame_interpolator_tpu.frame import VideoFrame
-from mpv_frame_interpolator_tpu.pipeline.cadence import InterpolationState
+
 from mpv_frame_interpolator_tpu.pipeline.engine import (
     EngineConfig, InterpolationEngine, OutputFrame)
 from mpv_frame_interpolator_tpu.utils import get_logger

@@ -30,9 +30,7 @@ from __future__ import annotations
 import errno
 import os
 import threading
-from typing import Optional
 
-from mpv_frame_interpolator_tpu.pipeline.cadence import InterpolationState
 from mpv_frame_interpolator_tpu.utils import get_logger
 
 log = get_logger("applet")

@@ -11,9 +11,9 @@ from __future__ import annotations
 
 import shutil
 import subprocess
-from typing import Iterator, Optional
+from typing import Iterator
 
-from mpv_frame_interpolator_tpu.frame import VideoFrame, NV12, P010
+from mpv_frame_interpolator_tpu.frame import NV12
 from mpv_frame_interpolator_tpu.io.y4m import Y4MReader
 from mpv_frame_interpolator_tpu.utils import get_logger
 

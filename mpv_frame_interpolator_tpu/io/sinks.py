@@ -16,7 +16,7 @@ to an encoder (video/out/vo_lavc.c).  The rebuild's sinks:
 from __future__ import annotations
 
 import os
-from typing import Callable, Iterator, List, Optional
+from typing import Callable, List
 
 import numpy as np
 

@@ -13,9 +13,7 @@ as NV12 frames with pts + nominal_fps (vf_HopperRender.c:416-428).
 
 from __future__ import annotations
 
-import io as _io
-import os
-from typing import Iterator, Optional, BinaryIO
+from typing import Iterator, BinaryIO
 
 import numpy as np
 

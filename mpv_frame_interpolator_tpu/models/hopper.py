@@ -20,9 +20,7 @@ Algorithm (reference parity, SURVEY.md §2.1 "Algorithm summary"):
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
 
-import jax
 import jax.numpy as jnp
 
 from mpv_frame_interpolator_tpu.ops.flow import FlowGeometry, make_flow_fn

@@ -33,7 +33,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-import math
+
 from typing import Tuple
 
 import jax

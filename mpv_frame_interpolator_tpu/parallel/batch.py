@@ -15,7 +15,6 @@ Ordering: results are re-emitted in pts order by a small reorder window.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Iterable, List, Optional, Sequence
 
 import jax
@@ -23,7 +22,6 @@ import jax.numpy as jnp
 
 from mpv_frame_interpolator_tpu.frame import FrameFormat, VideoFrame, split_chroma
 from mpv_frame_interpolator_tpu.ops.flow import FlowGeometry
-from mpv_frame_interpolator_tpu.ops import warp as warp_ops
 from mpv_frame_interpolator_tpu.pipeline.cadence import CadenceEngine
 from mpv_frame_interpolator_tpu.pipeline.engine import (
     EngineConfig, OutputFrame, _make_source_step)

@@ -22,7 +22,6 @@ dry-run.
 
 from __future__ import annotations
 
-import functools
 from typing import Sequence
 
 import jax

@@ -23,7 +23,7 @@ from __future__ import annotations
 import dataclasses
 import enum
 import math
-from typing import List, Optional
+from typing import List
 
 DEFAULT_SOURCE_FPS = 24000.0 / 1001.0   # vf_HopperRender.c:689
 PTS_DRIFT_LIMIT = 0.05                  # vf_HopperRender.c:470

@@ -30,8 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from mpv_frame_interpolator_tpu.frame import (
-    FrameFormat, VideoFrame, NV12, P010, split_chroma)
-from mpv_frame_interpolator_tpu.ops.flow import FlowGeometry, make_flow_fn
+    FrameFormat, VideoFrame, NV12, split_chroma)
+from mpv_frame_interpolator_tpu.ops.flow import FlowGeometry
 from mpv_frame_interpolator_tpu.ops import warp as warp_ops
 from mpv_frame_interpolator_tpu.pipeline.cadence import (
     CadenceEngine, InterpolationState)

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Iterable, Iterator, Optional
+from typing import Iterable, Optional
 
 from mpv_frame_interpolator_tpu.frame import VideoFrame
 from mpv_frame_interpolator_tpu.pipeline.engine import (
