@@ -40,6 +40,13 @@ class FrameFormat:
     height: int                # frame height in pixels (must be even)
     pixfmt: str = NV12         # NV12 | P010
     stride: Optional[int] = None  # luma samples per row; None -> width
+    # colorimetry tags, passed through untouched (the reference copies
+    # mp_image params across the filter, video/mp_image.c:538; the
+    # interpolator itself is colorspace-agnostic).  HDR10 content is
+    # typically primaries=bt.2020 transfer=pq.
+    primaries: str = "bt.709"   # bt.709 | bt.2020 | ...
+    transfer: str = "bt.1886"   # bt.1886 | pq | hlg | ...
+    matrix: str = "bt.709"      # YUV matrix coefficient tag
 
     def __post_init__(self):
         if self.pixfmt not in _DTYPES:

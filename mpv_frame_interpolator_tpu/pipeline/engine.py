@@ -309,8 +309,13 @@ class InterpolationEngine:
                             jnp.asarray(v))
 
     def _out_fmt(self) -> FrameFormat:
+        # colorimetry passes through untouched (mp_image_copy_attributes
+        # analog, video/mp_image.c:538)
         return FrameFormat(self.geom.actual_width, self.geom.height,
-                           self._fmt.pixfmt)
+                           self._fmt.pixfmt,
+                           primaries=self._fmt.primaries,
+                           transfer=self._fmt.transfer,
+                           matrix=self._fmt.matrix)
 
     # ------------------------------------------------------------------ #
 

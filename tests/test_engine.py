@@ -218,3 +218,20 @@ class TestQualityController:
         for _ in range(20):
             q.update(c.source_frame_time / 10, c)
         assert q.search_radius == 16
+
+
+class TestColorimetryPassthrough:
+    def test_hdr_tags_survive(self):
+        import dataclasses
+        cfg = synthetic.SyntheticConfig(width=64, height=48, fps=24.0,
+                                        pixfmt="p010")
+        frames = list(synthetic.moving_box(cfg, 3))
+        hdr = dataclasses.replace(frames[0].fmt, primaries="bt.2020",
+                                  transfer="pq", matrix="bt.2020nc")
+        frames = [VideoFrame(f.y, f.uv, hdr, f.pts, f.nominal_fps)
+                  for f in frames]
+        eng = make_engine()
+        outs = run(eng, frames)
+        out_fmt = outs[-1].fmt
+        assert (out_fmt.primaries, out_fmt.transfer, out_fmt.matrix) == \
+            ("bt.2020", "pq", "bt.2020nc")
