@@ -120,27 +120,41 @@ def _delta_sums_one_step(
     window: int,
     iteration: int,
     step: int,
-    radius: int,
+    radius,                             # int (static) OR traced int32 scalar
     off_x, off_y,                       # (lh, lw) int32 current offsets
     f1y, f1u, f1v,                      # full-res planes (uint8/uint16)
     f2_probe,                           # precomputed (y2, u2, v2) int32
     delta_scalar, neighbor_bias_scalar,  # traced int32 scalars
     luma_shift: int,
+    layers: int = None,
 ):
-    """One (iteration, step): returns (radius, nwy, nwx) uint32 window sums.
+    """One (iteration, step): returns (layers, nwy, nwx) uint32 window sums.
 
-    Dense equivalent of calcDeltaSumsKernel.cl:34-188 + host window sum."""
+    Dense equivalent of calcDeltaSumsKernel.cl:34-188 + host window sum.
+
+    `layers` is the static layer count of the tensors; `radius` may be a
+    traced scalar <= layers, in which case layers beyond it are masked to
+    0xFFFFFFFF after the window reduction (they can never win the argmin:
+    valid layers always come first, and jnp.argmin takes the first
+    minimum, matching determineLowestLayerKernel.cl's ascending scan).
+    One compiled program then serves every search radius the quality
+    controller can pick."""
     rs, lh, lw = geom.res_scalar, geom.low_h, geom.low_w
     H, W = geom.height, geom.stride
     y2, u2, v2 = f2_probe
+    if layers is None:
+        layers = int(radius)
 
     cyg, cxg = jnp.mgrid[0:lh, 0:lw]
     scaled_cx = (cxg << rs).astype(jnp.int32)
     scaled_cy = (cyg << rs).astype(jnp.int32)
 
-    rel = np.arange(radius, dtype=np.int64) - radius // 2
-    adj = np.where(rel > 0, rel * rel, -(rel * rel)).astype(np.int32)
-    adj = jnp.asarray(adj)[:, None, None]       # (R,1,1)
+    z = jnp.arange(layers, dtype=jnp.int32)
+    radius_t = jnp.asarray(radius, jnp.int32)
+    rel = jnp.mod(z, radius_t) - radius_t // 2   # (cz % R) - R/2, cl:68
+    adj = jnp.where(rel > 0, rel * rel, -(rel * rel)).astype(jnp.int32)
+    adj = adj[:, None, None]                     # (layers,1,1)
+    radius = layers  # tensor extent below
 
     if step == 0:
         cand_x = off_x[None] + adj               # (R, lh, lw)
@@ -191,14 +205,19 @@ def _delta_sums_one_step(
                                                                     dtype=jnp.uint32)
     else:
         sums = partial
-    return sums
+    # layers beyond the active radius can never win (first-min + ordering)
+    invalid = (z >= radius_t)[:, None, None]
+    return jnp.where(invalid, jnp.uint32(0xFFFFFFFF), sums)
 
 
 def _commit_winner(geom, window, step, radius, off_x, off_y, sums):
-    """determineLowestLayerKernel.cl + adjustOffsetArrayKernel.cl."""
+    """determineLowestLayerKernel.cl + adjustOffsetArrayKernel.cl.
+
+    radius may be traced; (winner % R) - R/2 per adjustOffsetArrayKernel.cl:14."""
     lh, lw = geom.low_h, geom.low_w
+    radius_t = jnp.asarray(radius, jnp.int32)
     lowest = jnp.argmin(sums, axis=0).astype(jnp.int32)   # first minimum
-    rel = lowest - radius // 2
+    rel = jnp.mod(lowest, radius_t) - radius_t // 2
     adj = jnp.where(rel > 0, rel * rel, -(rel * rel))
     if window > 1:
         adj = jnp.repeat(jnp.repeat(adj, window, 0), window, 1)
@@ -223,10 +242,10 @@ def blur_flow(offset, lh: int, lw: int):
     return jax.lax.div(acc, jnp.int32(ksz))   # trunc toward zero, like C
 
 
-def _flow_impl(geom: FlowGeometry, radius: int, luma_shift: int,
+def _flow_impl(geom: FlowGeometry, radius, luma_shift: int,
                f1y, f1u, f1v, f2y, f2u, f2v,
                delta_scalar, neighbor_bias_scalar,
-               pallas_blur: bool = False):
+               pallas_blur: bool = False, layers: int = None):
     lh, lw = geom.low_h, geom.low_w
     off_x = jnp.zeros((lh, lw), jnp.int32)
     off_y = jnp.zeros((lh, lw), jnp.int32)
@@ -237,7 +256,8 @@ def _flow_impl(geom: FlowGeometry, radius: int, luma_shift: int,
             sums = _delta_sums_one_step(
                 geom, window, iteration, step, radius,
                 off_x, off_y, f1y, f1u, f1v, f2_probe,
-                delta_scalar, neighbor_bias_scalar, luma_shift)
+                delta_scalar, neighbor_bias_scalar, luma_shift,
+                layers=layers)
             off_x, off_y = _commit_winner(geom, window, step, radius,
                                           off_x, off_y, sums)
 
@@ -251,15 +271,35 @@ def _flow_impl(geom: FlowGeometry, radius: int, luma_shift: int,
 
 
 @functools.lru_cache(maxsize=64)
+def _make_flow_traced(geom: FlowGeometry, luma_shift: int,
+                      pallas_blur: bool, layers: int):
+    """One jitted flow program with the search radius as a traced scalar:
+    every radius the quality controller picks shares this compilation
+    (layers beyond the radius are masked out of the argmin)."""
+
+    def fn(radius_t, f1y, f1u, f1v, f2y, f2u, f2v, ds, nbs):
+        return _flow_impl(geom, radius_t, luma_shift,
+                          f1y, f1u, f1v, f2y, f2u, f2v, ds, nbs,
+                          pallas_blur=pallas_blur, layers=layers)
+
+    return jax.jit(fn)
+
+
 def make_flow_fn(geom: FlowGeometry, radius: int, luma_shift: int = 0,
                  pallas_blur: bool = False):
-    """Build the jitted flow function for a given geometry + search radius.
+    """Build the flow function for a given geometry + search radius.
 
     Returns fn(f1y, f1u, f1v, f2y, f2u, f2v, delta_scalar, nbs)
       -> (offset (2,lh,lw) int32, blurred (2,lh,lw) int32)
 
     f1 is the OLDER frame, f2 the NEWER (ping-pong semantics of
-    opticalFlowCalc.c:96-106 / 163-164)."""
-    impl = functools.partial(_flow_impl, geom, radius, luma_shift,
-                             pallas_blur=pallas_blur)
-    return jax.jit(impl)
+    opticalFlowCalc.c:96-106 / 163-164).  All radii share one compiled
+    program (radius is traced; see _make_flow_traced)."""
+    layers = max(oracle.MAX_SEARCH_RADIUS, radius)
+    shared = _make_flow_traced(geom, luma_shift, pallas_blur, layers)
+
+    def call(f1y, f1u, f1v, f2y, f2u, f2v, ds, nbs):
+        return shared(jnp.int32(radius), f1y, f1u, f1v, f2y, f2u, f2v,
+                      ds, nbs)
+
+    return call

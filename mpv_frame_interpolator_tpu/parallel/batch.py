@@ -85,13 +85,14 @@ class PairParallelPool:
         f2 = self._planes_on(frame, dev)
         self._prev_host = frame
 
-        step = _make_source_step(self.geom, self.config.initial_search_radius,
+        step = _make_source_step(self.geom,
                                  self.config.frame_output_mode,
                                  self._scale_shift, self.config.cut_policy,
                                  self.config.scene_detection,
                                  self.config.model)
         ts = jnp.asarray([s.blend for s in plan.outputs], jnp.float32)
         y, uv, _, _ = step(*f1, *f2, jax.device_put(ts, dev),
+                           jnp.int32(self.config.initial_search_radius),
                            jnp.int32(self.config.delta_scalar),
                            jnp.int32(self.config.neighbor_bias_scalar),
                            jnp.float32(self.config.black_level),

@@ -112,7 +112,7 @@ class _DeviceFrame:
 
 
 @functools.lru_cache(maxsize=128)
-def _make_source_step(geom: FlowGeometry, radius: int, mode: int,
+def _make_source_step(geom: FlowGeometry, mode: int,
                       scale_shift: int, cut_policy: str,
                       scene_enabled: bool, model: str = "hopper"):
     """ONE fused device dispatch per source pair: scene-cut score ->
@@ -121,12 +121,16 @@ def _make_source_step(geom: FlowGeometry, radius: int, mode: int,
     The reference issues ~2*log2(win)*3+1 flow launches plus 2 warp
     launches per output frame plus blocking copies (SURVEY.md §3.2); here
     the whole source-pair computation is a single XLA program, so host/
-    dispatch overhead is paid once and XLA fuses across stage boundaries."""
+    dispatch overhead is paid once and XLA fuses across stage boundaries.
+
+    The search radius is traced (masked layers, ops/flow.py), so the
+    quality controller's radius changes never recompile."""
     from mpv_frame_interpolator_tpu.ops.flow import _flow_impl
+    from mpv_frame_interpolator_tpu.ops.oracle import MAX_SEARCH_RADIUS
     dtype = jnp.uint16 if scale_shift else jnp.uint8
 
-    def step(f1y, f1u, f1v, f2y, f2u, f2v, ts, ds, nbs, black, white,
-             scene_threshold):
+    def step(f1y, f1u, f1v, f2y, f2u, f2v, ts, radius, ds, nbs, black,
+             white, scene_threshold):
         # scene-change score at flow resolution (pipeline/scene.py)
         if scene_enabled:
             s = 1 << geom.res_scalar
@@ -143,7 +147,7 @@ def _make_source_step(geom: FlowGeometry, radius: int, mode: int,
         if model == "hopper":
             offset, blurred = _flow_impl(geom, radius, scale_shift,
                                          f1y, f1u, f1v, f2y, f2u, f2v,
-                                         ds, nbs)
+                                         ds, nbs, layers=MAX_SEARCH_RADIUS)
         else:
             # blend / repeat families: null flow field (models/__init__.py)
             offset = jnp.zeros((2, geom.low_h, geom.low_w), jnp.int32)
@@ -253,10 +257,11 @@ class InterpolationEngine:
             self._precompile()
 
     def _precompile(self):
-        """Compile every (search radius x batch size) specialization up
-        front so the quality controller never observes compile time (the
-        reference builds its kernels once at init,
-        opticalFlowCalc.c:404-408)."""
+        """Compile the plausible batch-size specializations up front so the
+        quality controller never observes compile time (the reference
+        builds its kernels once at init, opticalFlowCalc.c:404-408).  The
+        search radius is traced, so one program per batch size covers all
+        radii."""
         h, w = self.geom.height, self.geom.stride
         dt = np.uint16 if self._scale_shift else np.uint8
         zy = jnp.zeros((h, w), dt)
@@ -267,27 +272,22 @@ class InterpolationEngine:
                     / self.cadence.source_frame_time, 1e-6)
         base_n = max(int(np.ceil(1.0 / ratio)), 1)
         sizes = {1, base_n, max(base_n - 1, 1), base_n + 1}
+        step = _make_source_step(self.geom, self.frame_output_mode,
+                                 self._scale_shift, self.config.cut_policy,
+                                 self.scene.enabled, self.config.model)
         last = None
-        for radius in range(self.quality.min_radius,
-                            self.quality.max_radius + 1):
-            step = _make_source_step(self.geom, radius,
-                                     self.frame_output_mode,
-                                     self._scale_shift,
-                                     self.config.cut_policy,
-                                     self.scene.enabled,
-                                     self.config.model)
-            for n in sizes:
-                last = step(zy, zc, zc, zy, zc, zc,
-                            jnp.zeros((n,), jnp.float32),
-                            jnp.int32(8), jnp.int32(6),
-                            jnp.float32(0.0), jnp.float32(255.0),
-                            jnp.float32(self.scene.threshold))
-                self._warm.add((radius, self.frame_output_mode, n))
+        for n in sizes:
+            last = step(zy, zc, zc, zy, zc, zc,
+                        jnp.zeros((n,), jnp.float32),
+                        jnp.int32(self.quality.search_radius),
+                        jnp.int32(8), jnp.int32(6),
+                        jnp.float32(0.0), jnp.float32(255.0),
+                        jnp.float32(self.scene.threshold))
+            self._warm.add((self.frame_output_mode, n))
         if last is not None:
             jax.block_until_ready(last[0])
-        log.info("precompiled %d flow radii + warp in %.1fs",
-                 self.quality.max_radius - self.quality.min_radius + 1,
-                 time.perf_counter() - t0)
+        log.info("precompiled %d batch sizes (all radii shared) in %.1fs",
+                 len(sizes), time.perf_counter() - t0)
 
     def stage(self, frame: VideoFrame) -> VideoFrame:
         """Start the async host->HBM copy for a frame and return a frame
@@ -342,8 +342,7 @@ class InterpolationEngine:
         # (ordering per vf_HopperRender.c:484 before the new calc)
         self.quality.update(self._last_calc_duration, self.cadence)
 
-        spec_key = (self.quality.search_radius, self.frame_output_mode,
-                    self.cadence.num_int_frames)
+        spec_key = (self.frame_output_mode, self.cadence.num_int_frames)
         was_warm = spec_key in self._warm
 
         t0 = time.perf_counter()
@@ -354,7 +353,7 @@ class InterpolationEngine:
             # first-frame interpolation (SideBySide2): pair with itself
             f1 = f2
 
-        step = _make_source_step(self.geom, self.quality.search_radius,
+        step = _make_source_step(self.geom,
                                  self.frame_output_mode, self._scale_shift,
                                  self.config.cut_policy, self.scene.enabled,
                                  self.config.model)
@@ -362,6 +361,7 @@ class InterpolationEngine:
         ts = jnp.asarray([slot.blend for slot in plan.outputs], jnp.float32)
         y, uv, blurred, cut_score = step(
             f1.y, f1.u, f1.v, f2.y, f2.u, f2.v, ts,
+            jnp.int32(self.quality.search_radius),
             jnp.int32(self.delta_scalar),
             jnp.int32(self.neighbor_bias_scalar),
             jnp.float32(self.black_level), jnp.float32(self.white_level),
