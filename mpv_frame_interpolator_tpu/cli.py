@@ -87,6 +87,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ipc-server", default="",
                    help="serve JSON IPC on this unix socket path "
                         "(mpv --input-ipc-server analog)")
+    p.add_argument("--save-position-on-quit", action="store_true",
+                   help="persist playback position + knobs per input file "
+                        "(watch-later analog)")
+    p.add_argument("--no-resume", action="store_true",
+                   help="ignore an existing watch-later entry")
     p.add_argument("--profile-dir", default="",
                    help="capture a jax.profiler device trace into this dir")
     p.add_argument("-v", "--verbose", action="count", default=0)
@@ -159,6 +164,19 @@ def main(argv=None) -> int:
     if args.speed != 1.0:
         engine.set_speed(args.speed)
 
+    # watch-later resume (player/configfiles.c analog) for file sources
+    is_file = not args.source.startswith("synthetic:")
+    player_for_resume = None
+    if is_file and not args.no_resume:
+        from mpv_frame_interpolator_tpu.api import Player
+        from mpv_frame_interpolator_tpu.pipeline import resume as _resume
+        state = _resume.load(args.source)
+        if state:
+            player_for_resume = Player(engine=engine)
+            pos = _resume.apply_to_player(player_for_resume, state)
+            log.info("resumed watch-later state (position %.2fs, %s)",
+                     pos, {k: v for k, v in state.items() if k != "start"})
+
     if args.output:
         sink = sinks.Y4MFileSink(args.output, width, height,
                                  args.display_fps,
@@ -202,6 +220,19 @@ def main(argv=None) -> int:
             applet.stop()
         if ipc:
             ipc.stop()
+        if is_file and args.save_position_on_quit:
+            from mpv_frame_interpolator_tpu.pipeline import resume as _resume
+            props = {
+                "speed": engine.cadence.playback_speed,
+                "frame-output-mode": engine.frame_output_mode,
+                "search-radius": engine.quality.search_radius,
+                "black-level": engine.black_level,
+                "white-level": engine.white_level,
+                "scene-threshold": engine.scene.threshold,
+            }
+            last_pts = engine.cadence.current_output_pts
+            path = _resume.save(args.source, last_pts, props)
+            log.info("watch-later state saved to %s", path)
     dt = time.perf_counter() - t0
     s = engine.stats.summary().get("source_frame_time", {})
     log.info("%d source -> %d output frames in %.2fs (%.1f out-fps); "

@@ -391,6 +391,14 @@ class InterpolationEngine:
         self._warm.add(spec_key)
         return outputs
 
+    def flush(self) -> List[OutputFrame]:
+        """End-of-stream: nothing is held back.  The reference emits all
+        intermediates of a pair before accepting the next source frame and
+        simply forwards the EOF frame (vf_HopperRender.c:420-421,503-504),
+        so there is no buffered output to drain; provided for API symmetry
+        with sink.close()."""
+        return []
+
     # telemetry used by the control surface / applet protocol
     def last_cut_score(self) -> float:
         if self._last_cut_score is None:

@@ -94,3 +94,23 @@ class TestFallbackModels:
                                    geom.actual_width)
         got2 = outs[3].to_video_frame()
         np.testing.assert_array_equal(ry2, got2.y)
+
+
+class TestBatchModes:
+    def test_sbs_batch_matches_single(self, small_cfg):
+        import jax.numpy as jnp
+        from mpv_frame_interpolator_tpu.ops.warp import (
+            make_warp_fn, make_warp_batch_fn, SIDE_BY_SIDE_2)
+        f1, f2 = frame_pair(small_cfg)
+        m = HopperModel.for_frame(f1.fmt.height, f1.fmt.width)
+        a = [jnp.asarray(x) for x in (*planar(f1), *planar(f2))]
+        _, blur = m.analyze(*a)
+        single = make_warp_fn(m.geom, SIDE_BY_SIDE_2)
+        batch = make_warp_batch_fn(m.geom, SIDE_BY_SIDE_2)
+        ys, us, vs = batch(*a, blur, jnp.asarray([0.2, 0.7], jnp.float32),
+                           jnp.float32(0.0), jnp.float32(255.0))
+        for i, t in enumerate((0.2, 0.7)):
+            y1, u1, v1 = single(*a, blur, jnp.float32(t),
+                                jnp.float32(0.0), jnp.float32(255.0))
+            np.testing.assert_array_equal(np.asarray(y1), np.asarray(ys[i]))
+            np.testing.assert_array_equal(np.asarray(u1), np.asarray(us[i]))
