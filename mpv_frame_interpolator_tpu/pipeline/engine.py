@@ -68,6 +68,22 @@ class EngineConfig:
     compilation_cache_dir: str = "~/.cache/mfi_tpu/jax"
     model: str = "hopper"            # interpolator family (models/)
 
+    def __post_init__(self):
+        # startup validation mirroring vf_HopperRender_create
+        # (vf_HopperRender.c:585-622)
+        if self.max_calc_res < 64:
+            raise ValueError("max_calc_res must be at least 64")
+        if self.num_iterations < 0:
+            raise ValueError("num_iterations must be >= 0 (0 = maximum)")
+        if not 2 <= self.initial_search_radius <= 256:
+            raise ValueError("search radius must be within [2, 256]")
+        if not 0 <= self.frame_output_mode <= 6:
+            raise ValueError("frame_output_mode must be in [0, 6]")
+        if self.display_fps <= 0:
+            raise ValueError("display_fps must be positive")
+        if self.cut_policy not in ("nearest", "hold"):
+            raise ValueError("cut_policy must be 'nearest' or 'hold'")
+
 
 class OutputFrame:
     """A produced frame; planes may live on device until materialized.

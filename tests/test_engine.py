@@ -235,3 +235,20 @@ class TestColorimetryPassthrough:
         out_fmt = outs[-1].fmt
         assert (out_fmt.primaries, out_fmt.transfer, out_fmt.matrix) == \
             ("bt.2020", "pq", "bt.2020nc")
+
+
+class TestConfigValidation:
+    """Startup validation (vf_HopperRender.c:585-622 analog)."""
+
+    @pytest.mark.parametrize("kw", [
+        dict(max_calc_res=32),
+        dict(num_iterations=-1),
+        dict(initial_search_radius=1),
+        dict(initial_search_radius=300),
+        dict(frame_output_mode=7),
+        dict(display_fps=0),
+        dict(cut_policy="bogus"),
+    ])
+    def test_rejects_bad_config(self, kw):
+        with pytest.raises(ValueError):
+            EngineConfig(**kw)
