@@ -109,6 +109,9 @@ def make_source(args):
             raise SystemExit(f"unknown synthetic source {name!r}")
         n = args.frames or 1 << 30
         return gen(cfg, n), cfg.width, cfg.height
+    if args.source == "-":
+        rdr = y4m.Y4MReader(sys.stdin.buffer)
+        return iter(rdr), rdr.width, rdr.height
     if args.source.endswith(".yuv"):
         fh = open(args.source, "rb")
         rdr = y4m.RawYUVReader(fh, args.width, args.height, args.fps,
@@ -177,7 +180,23 @@ def main(argv=None) -> int:
             log.info("resumed watch-later state (position %.2fs, %s)",
                      pos, {k: v for k, v in state.items() if k != "start"})
 
-    if args.output:
+    if args.output == "-":
+        from mpv_frame_interpolator_tpu.io.y4m import Y4MWriter
+
+        class _StdoutSink:
+            def __init__(self):
+                self._w = Y4MWriter(sys.stdout.buffer, width, height,
+                                    args.display_fps,
+                                    P010 if args.p010 else NV12)
+
+            def write(self, frame):
+                self._w.write(frame.to_video_frame())
+
+            def close(self):
+                sys.stdout.buffer.flush()
+
+        sink = _StdoutSink()
+    elif args.output:
         sink = sinks.Y4MFileSink(args.output, width, height,
                                  args.display_fps,
                                  P010 if args.p010 else NV12)
