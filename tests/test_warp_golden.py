@@ -87,3 +87,48 @@ class TestStridedWarp:
         f1, f2, geom, blur = _setup(cfg)
         assert geom.stride == 80 and geom.actual_width == 64
         _compare(f1, f2, geom, blur, oracle.BLENDED_FRAME, 0.35)
+
+
+class TestPyramidAllModes:
+    @pytest.mark.parametrize("mode", MODES_EXACT)
+    def test_modes_exact_pyramid(self, pyramid_cfg, mode):
+        f1, f2, geom, blur = _setup(pyramid_cfg, "gradient_pan", radius=5)
+        assert geom.res_scalar >= 1
+        _compare(f1, f2, geom, blur, mode, 0.55)
+
+
+class TestRandomizedParity:
+    """Randomized sweep: oracle vs JAX across random geometry/params."""
+
+    @pytest.mark.parametrize("seed", range(6))
+    def test_random_config(self, seed):
+        import random
+        from mpv_frame_interpolator_tpu.io.synthetic import SyntheticConfig
+        rng = random.Random(seed)
+        w = rng.choice([32, 48, 64, 96])
+        h = rng.choice([32, 48, 64])
+        stride = w + rng.choice([0, 16])
+        cfg = SyntheticConfig(width=w, height=h, stride=stride,
+                              seed=1000 + seed)
+        src = rng.choice(["moving_box", "gradient_pan", "noise"])
+        radius = rng.randint(5, 16)
+        ds = rng.randint(0, 12)
+        nbs = rng.randint(0, 10)
+        mode = rng.choice(MODES_EXACT)
+        t = rng.random()
+        black = float(rng.randint(0, 32))
+        white = float(rng.randint(200, 255))
+
+        f1, f2 = frame_pair(cfg, src)
+        geom = FlowGeometry.create(h, stride, w)
+        off_ref, blur_ref = oracle.calculate_optical_flow(
+            f1.y, f1.uv, f2.y, f2.uv, search_radius=radius,
+            res_scalar=geom.res_scalar, lh=geom.low_h, lw=geom.low_w,
+            delta_scalar=ds, neighbor_bias_scalar=nbs)
+        fn = make_flow_fn(geom, radius)
+        a = [jnp.asarray(x) for x in (*planar(f1), *planar(f2))]
+        off_jax, blur_jax = fn(*a, jnp.int32(ds), jnp.int32(nbs))
+        np.testing.assert_array_equal(off_ref.astype(np.int32),
+                                      np.asarray(off_jax),
+                                      err_msg=f"flow seed={seed}")
+        _compare(f1, f2, geom, blur_ref, mode, t, black, white)
