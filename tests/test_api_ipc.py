@@ -2,6 +2,7 @@
 
 import json
 import os
+
 import socket
 import time
 
@@ -119,3 +120,45 @@ class TestResume:
 
     def test_missing_is_none(self, tmp_path):
         assert resume.load("/nope.mkv", str(tmp_path)) is None
+
+
+class TestAppletServerFifo:
+    def test_fifo_roundtrip(self, tmp_path, small_cfg):
+        """Drive the applet protocol over real FIFOs like the widget does
+        (HopperRenderSettingsApplet.py reads 512-byte status blocks)."""
+        import threading
+        from mpv_frame_interpolator_tpu.control.applet import AppletServer
+        from mpv_frame_interpolator_tpu.pipeline.engine import (
+            EngineConfig, InterpolationEngine)
+
+        e = InterpolationEngine(EngineConfig(scene_detection=False,
+                                             auto_quality=False,
+                                             measure_timing=False))
+        fifo = str(tmp_path / "hopperrender")
+        srv = AppletServer(fifo, e, period=0.05)
+        srv.start()
+        try:
+            # widget side: send a command code, then read one status block
+            with open(srv.cmd_path, "w") as cmd:
+                cmd.write("5\n")   # HSVFlow
+                cmd.flush()
+            status = b""
+
+            def read_status():
+                nonlocal status
+                with open(fifo, "rb") as fh:
+                    status = fh.read(512)
+
+            t = threading.Thread(target=read_status)
+            t.start()
+            t.join(timeout=5.0)
+            assert not t.is_alive()
+            assert len(status) == 512
+            text = status.rstrip(b"\0").decode()
+            assert text.startswith("Search Radius: ")
+            deadline = time.time() + 3.0
+            while e.frame_output_mode != 3 and time.time() < deadline:
+                time.sleep(0.05)
+            assert e.frame_output_mode == 3   # command was applied
+        finally:
+            srv.stop()
