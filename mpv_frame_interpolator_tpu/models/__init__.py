@@ -7,17 +7,23 @@ engine can swap families:
   hopper  -- the flagship: hierarchical block-matching optical flow +
              bidirectional warp (ops/flow.py + ops/warp.py), reference-
              parity semantics
+  hopperx -- hopper + occlusion-aware blending: where the forward- and
+             backward-warped samples disagree, the blend shifts toward
+             the temporally nearer source instead of cross-fading through
+             the ghost (ops/warp.py:_occlusion_adjust).  A quality
+             extension the reference does not have.
   blend   -- zero-flow cross-fade (what BlendedFrame degenerates to with a
              null flow field); cheap fallback under load
   repeat  -- nearest-source snap (classic player cadence without
              interpolation; also the scene-cut behavior)
 
-All three ride the same fused source-step dispatch; `blend` and `repeat`
-simply force the flow field / blend positions, so they share the warp's
-levels/output-mode semantics and cost almost nothing extra to compile.
+All families ride the same fused source-step dispatch; `blend` and
+`repeat` simply force the flow field / blend positions, so they share the
+warp's levels/output-mode semantics and cost almost nothing extra to
+compile.
 """
 
-MODELS = ("hopper", "blend", "repeat")
+MODELS = ("hopper", "hopperx", "blend", "repeat")
 
 
 def validate(name: str) -> str:
