@@ -88,6 +88,7 @@ class Player:
                                 lambda v: setattr(e.scene, "enabled", bool(v))),
             "scene-threshold": (lambda: e.scene.threshold,
                                 lambda v: setattr(e.scene, "threshold", float(v))),
+            "model": (lambda: e.config.model, self._set_model),
             "blending-scalar": (lambda: e.cadence.blending_scalar, None),
             "source-frame-num": (lambda: e.cadence.source_frame_num, None),
             "num-int-frames": (lambda: e.cadence.num_int_frames, None),
@@ -138,6 +139,10 @@ class Player:
 
     def _set_auto_quality(self, v):
         self.engine.quality.enabled = bool(v)
+
+    def _set_model(self, v):
+        from mpv_frame_interpolator_tpu import models as _models
+        self.engine.config.model = _models.validate(str(v))
 
     # ---- commands (mpv_command analog) ----------------------------------
 

@@ -300,7 +300,7 @@ class InterpolationEngine:
                         jnp.int32(8), jnp.int32(6),
                         jnp.float32(0.0), jnp.float32(255.0),
                         jnp.float32(self.scene.threshold))
-            self._warm.add((self.frame_output_mode, n))
+            self._warm.add((self.frame_output_mode, n, self.config.model))
         if last is not None:
             jax.block_until_ready(last[0])
         log.info("precompiled %d batch sizes (all radii shared) in %.1fs",
@@ -359,7 +359,8 @@ class InterpolationEngine:
         # (ordering per vf_HopperRender.c:484 before the new calc)
         self.quality.update(self._last_calc_duration, self.cadence)
 
-        spec_key = (self.frame_output_mode, self.cadence.num_int_frames)
+        spec_key = (self.frame_output_mode, self.cadence.num_int_frames,
+                    self.config.model)
         was_warm = spec_key in self._warm
 
         t0 = time.perf_counter()

@@ -162,3 +162,21 @@ class TestAppletServerFifo:
             assert e.frame_output_mode == 3   # command was applied
         finally:
             srv.stop()
+
+
+class TestModelSwitch:
+    def test_runtime_model_switch(self, small_cfg):
+        p = make_player()
+        outs = list(p.feed_all(synthetic.moving_box(small_cfg, 3)))
+        assert p.get_property("model") == "hopper"
+        p.set_property("model", "blend")
+        frames = [f.with_pts(f.pts + 1.0) for f in
+                  synthetic.moving_box(small_cfg, 2)]
+        for f in frames:
+            f.nominal_fps = 24.0
+        outs2 = []
+        for f in frames:
+            outs2.extend(p.feed(f))
+        assert len(outs2) >= 2
+        with pytest.raises(Exception):
+            p.set_property("model", "bogus")
