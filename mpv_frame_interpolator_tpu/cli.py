@@ -87,6 +87,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ipc-server", default="",
                    help="serve JSON IPC on this unix socket path "
                         "(mpv --input-ipc-server analog)")
+    p.add_argument("--vf", default="",
+                   help="host filter chain before interpolation, e.g. "
+                        "'crop=640:360,vflip,fps=24' (user_filters analog)")
+    p.add_argument("--script", default="",
+                   help="run a Python script with a `player` handle bound "
+                        "to the live engine (scripting-layer analog)")
     p.add_argument("--save-position-on-quit", action="store_true",
                    help="persist playback position + knobs per input file "
                         "(watch-later analog)")
@@ -209,7 +215,23 @@ def main(argv=None) -> int:
     if not args.no_present:
         present = PresentClock(args.display_fps, untimed=args.untimed)
 
+    if args.vf:
+        from mpv_frame_interpolator_tpu.io.filters import (
+            parse_chain, apply_chain)
+        source = apply_chain(parse_chain(args.vf), source)
+
     pipe = Pipeline(source, engine, sink, present)
+
+    if args.script:
+        import threading
+        from mpv_frame_interpolator_tpu.api import Player as _Player
+        script_player = _Player(engine=engine)
+        code = open(args.script).read()
+
+        def run_script():
+            exec(compile(code, args.script, "exec"),
+                 {"player": script_player, "pipeline": pipe})
+        threading.Thread(target=run_script, daemon=True).start()
 
     applet = None
     if args.applet_fifo:

@@ -1,0 +1,68 @@
+"""Host-side user filter chain (--vf analog)."""
+
+import numpy as np
+import pytest
+
+from mpv_frame_interpolator_tpu.io import synthetic
+from mpv_frame_interpolator_tpu.io.filters import (
+    parse_chain, apply_chain, crop, vflip, hflip, rotate, fps)
+from mpv_frame_interpolator_tpu.frame import split_chroma
+
+
+def frames(n=3, **kw):
+    cfg = synthetic.SyntheticConfig(width=64, height=48, fps=24.0, **kw)
+    return list(synthetic.moving_box(cfg, n))
+
+
+class TestFilters:
+    def test_crop(self):
+        f = crop(32, 16, 8, 4)(frames(1)[0])
+        assert f.fmt.width == 32 and f.fmt.height == 16
+        assert f.uv.shape == (8, 32)
+
+    def test_crop_rejects_odd(self):
+        with pytest.raises(ValueError):
+            crop(33, 16)
+
+    def test_vflip_hflip_roundtrip(self):
+        f0 = frames(1)[0]
+        f = vflip()(vflip()(f0))
+        np.testing.assert_array_equal(f0.y, f.y)
+        np.testing.assert_array_equal(f0.uv, f.uv)
+        g = hflip()(hflip()(f0))
+        np.testing.assert_array_equal(f0.y, g.y)
+
+    def test_rotate_dims(self):
+        f = rotate(90)(frames(1)[0])
+        assert (f.fmt.width, f.fmt.height) == (48, 64)
+        f2 = rotate(180)(frames(1)[0])
+        assert (f2.fmt.width, f2.fmt.height) == (64, 48)
+
+    def test_fps_conversion(self):
+        src = frames(6)     # 24 fps
+        out = list(apply_chain([fps(12.0)], src))
+        assert len(out) == 3
+        assert all(abs(f.nominal_fps - 12.0) < 1e-9 for f in out)
+        out2 = list(apply_chain([fps(48.0)], frames(4)))
+        assert len(out2) == 7   # duplicated up (last frame emits once)
+
+    def test_parse_chain_and_compose(self):
+        chain = parse_chain("crop=32:16,vflip,setpts=1.5")
+        out = list(apply_chain(chain, frames(2)))
+        assert out[0].fmt.width == 32
+        assert out[0].pts == pytest.approx(1.5)
+        with pytest.raises(ValueError):
+            parse_chain("bogus=1")
+
+    def test_engine_consumes_filtered(self):
+        from mpv_frame_interpolator_tpu.pipeline.engine import (
+            EngineConfig, InterpolationEngine)
+        chain = parse_chain("crop=32:32,hflip")
+        e = InterpolationEngine(EngineConfig(scene_detection=False,
+                                             auto_quality=False,
+                                             measure_timing=False))
+        outs = []
+        for f in apply_chain(chain, frames(3)):
+            outs.extend(e.push(f))
+        assert len(outs) == 6
+        assert outs[-1].fmt.width == 32
