@@ -132,3 +132,27 @@ class TestRandomizedParity:
                                       np.asarray(off_jax),
                                       err_msg=f"flow seed={seed}")
         _compare(f1, f2, geom, blur_ref, mode, t, black, white)
+
+
+class TestLevelsEdgeCases:
+    def test_degenerate_white_equals_black(self, small_cfg):
+        """white == black would divide by zero in the reference's float
+        formula; the integer path clamps the denominator to 1."""
+        f1, f2, geom, blur = _setup(small_cfg)
+        fn = make_warp_fn(geom, oracle.BLENDED_FRAME)
+        y1, u1, v1 = planar(f1)
+        y2, u2, v2 = planar(f2)
+        jy, ju, jv = fn(jnp.asarray(y1), jnp.asarray(u1), jnp.asarray(v1),
+                        jnp.asarray(y2), jnp.asarray(u2), jnp.asarray(v2),
+                        jnp.asarray(blur.astype(np.int32)),
+                        jnp.float32(0.5), jnp.float32(128.0),
+                        jnp.float32(128.0))
+        out = np.asarray(jy)
+        assert out.min() >= 0 and out.max() <= 255  # no NaN/garbage
+
+    def test_extreme_levels(self, small_cfg):
+        f1, f2, geom, blur = _setup(small_cfg)
+        _compare(f1, f2, geom, blur, oracle.BLENDED_FRAME, 0.5,
+                 black=0.0, white=1.0)
+        _compare(f1, f2, geom, blur, oracle.BLENDED_FRAME, 0.5,
+                 black=254.0, white=255.0)
