@@ -291,3 +291,38 @@ class TestPsnrSink:
         # outputs interpolate between references; min PSNR still far above
         # noise (static-ish box source)
         assert sink.min > 15.0
+
+
+class TestFfmpegDecode:
+    def test_ffmpeg_source_through_stub(self, tmp_path, monkeypatch,
+                                        small_cfg):
+        """Exercise the external-decoder path with a stub ffmpeg that emits
+        a y4m stream (the real binary is absent in this image)."""
+        import stat
+        import sys as _sys
+        from mpv_frame_interpolator_tpu.io import synthetic as _syn
+        from mpv_frame_interpolator_tpu.io.y4m import Y4MWriter
+        clip = tmp_path / "clip.y4m"
+        with open(clip, "wb") as fh:
+            w = Y4MWriter(fh, 64, 48, 24.0)
+            for f in _syn.moving_box(small_cfg, 3):
+                w.write(f)
+        stub = tmp_path / "ffmpeg"
+        stub.write_text(
+            f"#!{_sys.executable}\nimport sys, shutil\n"
+            f"shutil.copyfileobj(open({str(clip)!r}, 'rb'), sys.stdout.buffer)\n")
+        stub.chmod(stub.stat().st_mode | stat.S_IEXEC)
+        monkeypatch.setenv("PATH", f"{tmp_path}:{os.environ['PATH']}")
+
+        from mpv_frame_interpolator_tpu.io import decode
+        assert decode.have_ffmpeg()
+        frames = list(decode.ffmpeg_source("whatever.mkv"))
+        assert len(frames) == 3
+        assert frames[0].fmt.width == 64
+        assert frames[0].nominal_fps == pytest.approx(24.0)
+
+    def test_missing_ffmpeg_raises_cleanly(self, monkeypatch):
+        from mpv_frame_interpolator_tpu.io import decode
+        monkeypatch.setenv("PATH", "/nonexistent")
+        with pytest.raises(RuntimeError, match="ffmpeg is not installed"):
+            list(decode.ffmpeg_source("x.mkv"))
