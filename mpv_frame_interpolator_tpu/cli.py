@@ -93,6 +93,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--script", default="",
                    help="run a Python script with a `player` handle bound "
                         "to the live engine (scripting-layer analog)")
+    p.add_argument("--start", type=float, default=None,
+                   help="skip source frames until this pts (seconds); "
+                        "defaults to a watch-later position if one exists")
     p.add_argument("--save-position-on-quit", action="store_true",
                    help="persist playback position + knobs per input file "
                         "(watch-later analog)")
@@ -175,16 +178,24 @@ def main(argv=None) -> int:
 
     # watch-later resume (player/configfiles.c analog) for file sources
     is_file = not args.source.startswith("synthetic:")
-    player_for_resume = None
+    start_pts = args.start
     if is_file and not args.no_resume:
         from mpv_frame_interpolator_tpu.api import Player
         from mpv_frame_interpolator_tpu.pipeline import resume as _resume
         state = _resume.load(args.source)
         if state:
-            player_for_resume = Player(engine=engine)
-            pos = _resume.apply_to_player(player_for_resume, state)
+            pos = _resume.apply_to_player(Player(engine=engine), state)
+            if start_pts is None:
+                start_pts = pos
             log.info("resumed watch-later state (position %.2fs, %s)",
                      pos, {k: v for k, v in state.items() if k != "start"})
+
+    if start_pts:
+        def _skip_until(src, t0=start_pts):
+            for f in src:
+                if f.pts >= t0 - 1e-9:
+                    yield f
+        source = _skip_until(source)
 
     if args.output == "-":
         from mpv_frame_interpolator_tpu.io.y4m import Y4MWriter
