@@ -103,6 +103,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="ignore an existing watch-later entry")
     p.add_argument("--profile-dir", default="",
                    help="capture a jax.profiler device trace into this dir")
+    p.add_argument("--dump-stats", default="",
+                   help="write the stats-registry summary (JSON) to this "
+                        "file at exit (--dump-stats analog)")
     p.add_argument("-v", "--verbose", action="count", default=0)
     return p
 
@@ -285,6 +288,15 @@ def main(argv=None) -> int:
             last_pts = engine.cadence.current_output_pts
             path = _resume.save(args.source, last_pts, props)
             log.info("watch-later state saved to %s", path)
+    if args.dump_stats:
+        import json
+        with open(args.dump_stats, "w") as fh:
+            json.dump({"stats": engine.stats.summary(),
+                       "search_radius": engine.quality.search_radius,
+                       "state": engine.cadence.state.name,
+                       "frames_in": pipe.frames_in,
+                       "frames_out": pipe.frames_out}, fh, indent=2)
+
     dt = time.perf_counter() - t0
     s = engine.stats.summary().get("source_frame_time", {})
     log.info("%d source -> %d output frames in %.2fs (%.1f out-fps); "
