@@ -12,6 +12,10 @@ engine can swap families:
              the temporally nearer source instead of cross-fading through
              the ghost (ops/warp.py:_occlusion_adjust).  A quality
              extension the reference does not have.
+  hopperq -- hopper + sub-pixel bilinear sampling (1/64-pel): the
+             reference rounds warp positions to whole pixels
+             (warpFrameKernel.cl:165-168); hopperq reconstructs fractional
+             motion, measurably raising fidelity on smooth pans.
   blend   -- zero-flow cross-fade (what BlendedFrame degenerates to with a
              null flow field); cheap fallback under load
   repeat  -- nearest-source snap (classic player cadence without
@@ -23,7 +27,7 @@ warp's levels/output-mode semantics and cost almost nothing extra to
 compile.
 """
 
-MODELS = ("hopper", "hopperx", "blend", "repeat")
+MODELS = ("hopper", "hopperx", "hopperq", "blend", "repeat")
 
 
 def validate(name: str) -> str:

@@ -111,6 +111,31 @@ def _occlusion_adjust(blended, s12, s21, fs12, scale_shift: int):
     return (blended * (256 - a) + near * a) >> 8
 
 
+def _bilinear_sample(plane, py, px, dim_y: int, dim_x: int):
+    """Sub-pixel sample with 1/64 fixed-point weights (the `hopperq`
+    quality family; the reference rounds to the nearest integer position,
+    warpFrameKernel.cl:165-168, which quantizes motion to whole pixels).
+
+    py/px are fixed-point positions in 1/64 pixel units (int32).  Edges use
+    the same reflect+clamp as the reference's mirrorCoordinate.  Returns
+    the sample in 1/4096 units (int32) so the caller can round once."""
+    y0 = py >> 6
+    x0 = px >> 6
+    fy = py & 63
+    fx = px & 63
+    y0m = mirror_edge2(y0, dim_y)
+    y1m = mirror_edge2(y0 + 1, dim_y)
+    x0m = mirror_edge2(x0, dim_x)
+    x1m = mirror_edge2(x0 + 1, dim_x)
+    s00 = _gather(plane, y0m, x0m).astype(jnp.int32)
+    s01 = _gather(plane, y0m, x1m).astype(jnp.int32)
+    s10 = _gather(plane, y1m, x0m).astype(jnp.int32)
+    s11 = _gather(plane, y1m, x1m).astype(jnp.int32)
+    top = s00 * (64 - fx) + s01 * fx          # 1/64 units
+    bot = s10 * (64 - fx) + s11 * fx
+    return top * (64 - fy) + bot * fy         # 1/4096 units
+
+
 def _blend_fix(s12, s21, t, scale_shift: int):
     """Fixed-point bidirectional blend (see ops/oracle.blend_weights for the
     semantics rationale: the reference's f32 mul-add truncation is
@@ -234,8 +259,12 @@ def _warp_impl(geom: FlowGeometry, mode: int, scale_shift: int, dtype,
 
 def _warp_sample(geom: FlowGeometry, mode: int, scale_shift: int, dtype,
                  f1y, f1u, f1v, f2y, f2u, f2v, fields, t, black, white,
-                 occlusion_aware: bool = False):
-    """Per-blend-position part of the warp (vmapped by the batch path)."""
+                 occlusion_aware: bool = False, bilinear: bool = False):
+    """Per-blend-position part of the warp (vmapped by the batch path).
+
+    bilinear=True is the `hopperq` quality family: sub-pixel sampling in
+    1/64 fixed point instead of the reference's round-to-nearest
+    (warpFrameKernel.cl:165-168); applies to the blended mode only."""
     H, Wa, rs = geom.height, geom.actual_width, geom.res_scalar
     fs12 = t.astype(jnp.float32)
     fs21 = (1.0 - t).astype(jnp.float32)
@@ -251,6 +280,7 @@ def _warp_sample(geom: FlowGeometry, mode: int, scale_shift: int, dtype,
 
     OX21, OY21 = fields["OX21"], fields["OY21"]
 
+    use_bilinear = bilinear and mode == BLENDED_FRAME
     cyg, cxg = jnp.mgrid[0:H, 0:Wa]
     ncx12 = mirror_edge2(cxg + _iround(OX12.astype(jnp.float32) * fs12), Wa)
     ncy12 = mirror_edge2(cyg + _iround(OY12.astype(jnp.float32) * fs12), H)
@@ -261,7 +291,17 @@ def _warp_sample(geom: FlowGeometry, mode: int, scale_shift: int, dtype,
         out_y = _gather(f1y, ncy12, ncx12)
     elif mode == WARPED_FRAME_21:
         out_y = _gather(f2y, ncy21, ncx21)
-    else:
+    elif use_bilinear:
+        p12x = (cxg << 6) + _iround(OX12.astype(jnp.float32) * (fs12 * 64))
+        p12y = (cyg << 6) + _iround(OY12.astype(jnp.float32) * (fs12 * 64))
+        p21x = (cxg << 6) - _iround(OX21.astype(jnp.float32) * (fs21 * 64))
+        p21y = (cyg << 6) - _iround(OY21.astype(jnp.float32) * (fs21 * 64))
+        s12q = _bilinear_sample(f1y, p12y, p12x, H, Wa).astype(jnp.float32)
+        s21q = _bilinear_sample(f2y, p21y, p21x, H, Wa).astype(jnp.float32)
+        val = (s12q * fs21 + s21q * fs12) * np.float32(1.0 / 4096.0)
+        blended = jnp.floor(val + 0.5).astype(jnp.int32)
+        out_y = _levels_y(blended, black, white, scale_shift)
+    if mode not in (WARPED_FRAME_12, WARPED_FRAME_21) and not use_bilinear:
         s12 = _gather(f1y, ncy12, ncx12)
         s21 = _gather(f2y, ncy21, ncx21)
         blended = _blend_fix(s12, s21, fs12, scale_shift)
@@ -296,6 +336,29 @@ def _warp_sample(geom: FlowGeometry, mode: int, scale_shift: int, dtype,
     elif mode == WARPED_FRAME_21:
         out_u = samp(f2u, ncy21, ncx21, 0)
         out_v = samp(f2v, ncy21, ncx21, 1)
+    elif use_bilinear:
+        # planar chroma space: horizontal displacement is off_x/2 chroma
+        # samples, vertical off_y/2 chroma rows
+        pxg = (cxg >> 1) << 6
+        pyg = cyg << 6
+        p12x = pxg + _iround(OX12c.astype(jnp.float32) * (fs12 * 32))
+        p12y = pyg + _iround(OY12c.astype(jnp.float32) * (fs12 * 32))
+        p21x = pxg - _iround(OX21c.astype(jnp.float32) * (fs21 * 32))
+        p21y = pyg - _iround(OY21c.astype(jnp.float32) * (fs21 * 32))
+        wc = Wa >> 1
+
+        def bsamp(plane, py, px, par):
+            return _bilinear_sample(plane, py[:, par::2], px[:, par::2],
+                                    hc, wc).astype(jnp.float32)
+
+        bu = jnp.floor((bsamp(f1u, p12y, p12x, 0) * fs21
+                        + bsamp(f2u, p21y, p21x, 0) * fs12)
+                       * np.float32(1.0 / 4096.0) + 0.5).astype(jnp.int32)
+        bv = jnp.floor((bsamp(f1v, p12y, p12x, 1) * fs21
+                        + bsamp(f2v, p21y, p21x, 1) * fs12)
+                       * np.float32(1.0 / 4096.0) + 0.5).astype(jnp.int32)
+        out_u = _levels_uv(bu, white, scale_shift)
+        out_v = _levels_uv(bv, white, scale_shift)
     else:
         su12 = samp(f1u, ncy12, ncx12, 0)
         su21 = samp(f2u, ncy21, ncx21, 0)

@@ -160,7 +160,7 @@ def _make_source_step(geom: FlowGeometry, mode: int,
             cut_score = jnp.float32(0.0)
             cut = jnp.asarray(False)
 
-        if model in ("hopper", "hopperx"):
+        if model in ("hopper", "hopperx", "hopperq"):
             offset, blurred = _flow_impl(geom, radius, scale_shift,
                                          f1y, f1u, f1v, f2y, f2u, f2v,
                                          ds, nbs, layers=MAX_SEARCH_RADIUS)
@@ -193,7 +193,8 @@ def _make_source_step(geom: FlowGeometry, mode: int,
                 return warp_ops._warp_sample(
                     geom, mode, scale_shift, dtype,
                     f1y, f1u, f1v, f2y, f2u, f2v, fields, t, black, white,
-                    occlusion_aware=(model == "hopperx"))
+                    occlusion_aware=(model == "hopperx"),
+                    bilinear=(model == "hopperq"))
             y, u, v = jax.vmap(one)(ts_w)
         n, hc, wc = u.shape
         uv = jnp.stack((u, v), axis=3).reshape(n, hc, wc * 2)

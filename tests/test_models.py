@@ -168,3 +168,66 @@ class TestHopperX:
         for x, y in zip(a, b):
             np.testing.assert_array_equal(np.asarray(x.to_video_frame().y),
                                           np.asarray(y.to_video_frame().y))
+
+
+class TestHopperQ:
+    def _sine_pair(self, shift=5, w=128, h=64):
+        """Analytic content: luma sin pattern, frame2 = frame1 shifted by
+        `shift` px; ground truth at ANY subpixel position is computable."""
+        import numpy as np
+        from mpv_frame_interpolator_tpu.frame import FrameFormat, VideoFrame, interleave_chroma
+
+        def pattern(delta):
+            x = np.arange(w)[None, :] - delta
+            y = np.arange(h)[:, None]
+            val = 128 + 90 * np.sin(2 * np.pi * x / 16.0) \
+                      + 20 * np.sin(2 * np.pi * y / 24.0)
+            return np.clip(val, 0, 255).astype(np.uint8)
+
+        def mk(delta, pts):
+            yp = pattern(delta)
+            u = np.full((h // 2, w // 2), 128, np.uint8)
+            v = np.full((h // 2, w // 2), 128, np.uint8)
+            return VideoFrame(yp, interleave_chroma(u, v),
+                              FrameFormat(w, h), pts=pts, nominal_fps=24.0), pattern
+        f1, _ = mk(0.0, 0.0)
+        f2, _ = mk(float(shift), 1 / 24.0)
+        return f1, f2, pattern
+
+    @pytest.mark.parametrize("t,margin", [(0.3, 3.0), (0.5, -0.2), (0.7, 3.0)])
+    def test_subpixel_beats_nearest(self, t, margin):
+        # at t=0.5 the two nearest-roundings straddle the true position
+        # symmetrically and the blend cancels most of the error, so the
+        # bilinear win is small there; off-center it is decisive
+        import jax.numpy as jnp
+        from mpv_frame_interpolator_tpu.frame import psnr_arrays
+        from mpv_frame_interpolator_tpu.ops import warp as W
+        from mpv_frame_interpolator_tpu.ops.flow import FlowGeometry
+
+        shift = 5
+        f1, f2, pattern = self._sine_pair(shift)
+        geom = FlowGeometry.create(64, 128, 128)
+        m = HopperModel.for_frame(64, 128, search_radius=8)
+        a = [jnp.asarray(x) for x in (*planar(f1), *planar(f2))]
+        _, blur = m.analyze(*a)
+
+        gt = pattern(shift * t)[8:-8, 16:-16]
+
+        def render(bilinear):
+            fields = W._warp_fields(geom, blur)
+            y, u, v = W._warp_sample(
+                geom, W.BLENDED_FRAME, 0, jnp.uint8, *a, fields,
+                jnp.float32(t), jnp.float32(0.0), jnp.float32(255.0),
+                bilinear=bilinear)
+            return np.asarray(y)[8:-8, 16:-16]
+
+        p_near = psnr_arrays(render(False), gt, 255)
+        p_bilin = psnr_arrays(render(True), gt, 255)
+        assert p_bilin > p_near + margin, (p_near, p_bilin)
+
+    def test_engine_hopperq_runs(self, small_cfg):
+        e = eng(model="hopperq")
+        outs = []
+        for f in synthetic.moving_box(small_cfg, 3):
+            outs.extend(e.push(f))
+        assert len(outs) == 6
