@@ -58,3 +58,60 @@ class TestPairParallel:
         outs = list(pool.run(frames))
         devs = {next(iter(o._y.devices())).id for o in outs if not o._host}
         assert len(devs) >= 2   # pairs landed on distinct devices
+
+
+class TestMultiStream:
+    def test_batched_matches_single(self, small_cfg):
+        from mpv_frame_interpolator_tpu.parallel.streams import MultiStreamEngine
+        import dataclasses as dc
+        cfgs = [dc.replace(small_cfg, seed=small_cfg.seed + k)
+                for k in range(3)]
+        sources = [list(synthetic.gradient_pan(c, 4)) for c in cfgs]
+
+        kw = dict(scene_detection=False, auto_quality=False,
+                  measure_timing=False, initial_search_radius=5)
+        # reference: three independent single engines
+        singles = [InterpolationEngine(EngineConfig(**kw)) for _ in range(3)]
+        expect = [[] for _ in range(3)]
+        for step in range(4):
+            for k in range(3):
+                expect[k].extend(singles[k].push(sources[k][step]))
+
+        ms = MultiStreamEngine(EngineConfig(**kw), n_streams=3)
+        got = [[] for _ in range(3)]
+        for step in range(4):
+            outs = ms.push_batch([sources[k][step] for k in range(3)])
+            for k, frames in outs.items():
+                got[k].extend(frames)
+
+        for k in range(3):
+            assert len(expect[k]) == len(got[k])
+            for a, b in zip(expect[k], got[k]):
+                assert a.pts == pytest.approx(b.pts)
+                va, vb = a.to_video_frame(), b.to_video_frame()
+                np.testing.assert_array_equal(va.y, vb.y)
+                np.testing.assert_array_equal(va.uv, vb.uv)
+
+    def test_idle_stream_and_mixed_cadence(self, small_cfg):
+        from mpv_frame_interpolator_tpu.parallel.streams import MultiStreamEngine
+        ms = MultiStreamEngine(EngineConfig(
+            scene_detection=False, auto_quality=False,
+            measure_timing=False), n_streams=2)
+        frames = list(synthetic.moving_box(small_cfg, 3))
+        outs0 = ms.push_batch([frames[0], None])
+        assert 0 in outs0 and 1 not in outs0
+        outs1 = ms.push_batch([frames[1], frames[0]])
+        assert len(outs1[0]) == 3      # stream 0 interpolating
+        assert len(outs1[1]) == 1      # stream 1 anchor passthrough
+
+    def test_geometry_mismatch_rejected(self, small_cfg):
+        from mpv_frame_interpolator_tpu.parallel.streams import MultiStreamEngine
+        ms = MultiStreamEngine(EngineConfig(scene_detection=False,
+                                            auto_quality=False,
+                                            measure_timing=False),
+                               n_streams=2)
+        big = synthetic.SyntheticConfig(width=128, height=96)
+        f_small = next(iter(synthetic.moving_box(small_cfg, 1)))
+        f_big = next(iter(synthetic.moving_box(big, 1)))
+        with pytest.raises(ValueError, match="share one geometry"):
+            ms.push_batch([f_small, f_big])
