@@ -115,3 +115,24 @@ class TestMultiStream:
         f_big = next(iter(synthetic.moving_box(big, 1)))
         with pytest.raises(ValueError, match="share one geometry"):
             ms.push_batch([f_small, f_big])
+
+    def test_vmapped_dispatch_matches_sequential(self, small_cfg):
+        from mpv_frame_interpolator_tpu.parallel.streams import MultiStreamEngine
+        import dataclasses as dc
+        kw = dict(scene_detection=False, auto_quality=False,
+                  measure_timing=False, initial_search_radius=5)
+        cfgs = [dc.replace(small_cfg, seed=small_cfg.seed + k)
+                for k in range(2)]
+        sources = [list(synthetic.gradient_pan(c, 3)) for c in cfgs]
+        a = MultiStreamEngine(EngineConfig(**kw), n_streams=2)
+        b = MultiStreamEngine(EngineConfig(**kw), n_streams=2,
+                              batch_dispatch=True)
+        for step in range(3):
+            ra = a.push_batch([sources[k][step] for k in range(2)])
+            rb = b.push_batch([sources[k][step] for k in range(2)])
+            assert set(ra) == set(rb)
+            for sid in ra:
+                for x, y in zip(ra[sid], rb[sid]):
+                    np.testing.assert_array_equal(
+                        np.asarray(x.to_video_frame().y),
+                        np.asarray(y.to_video_frame().y))
