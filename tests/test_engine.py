@@ -252,3 +252,28 @@ class TestConfigValidation:
     def test_rejects_bad_config(self, kw):
         with pytest.raises(ValueError):
             EngineConfig(**kw)
+
+
+class TestP010LevelsSpec:
+    """The 16-bit level mapping is defined as the exact-rational
+    generalization of the 8-bit formula: out = floor((b - 256k)*255/(w-k))
+    clamped to [0, 65280]. Verify the device path against a direct numpy
+    evaluation of that spec."""
+
+    def test_levels16_spec(self):
+        import jax.numpy as jnp
+        from mpv_frame_interpolator_tpu.ops.warp import _levels_y, _levels_uv
+        rng = np.random.default_rng(5)
+        b = rng.integers(0, 65536, 4096).astype(np.int32)
+        for k, w in ((16.0, 235.0), (0.0, 255.0), (32.0, 200.0)):
+            got = np.asarray(_levels_y(jnp.asarray(b), jnp.float32(k),
+                                       jnp.float32(w), 8))
+            n = np.maximum((b.astype(np.int64) - (int(k) << 8)) * 255, 0)
+            want = np.minimum(n // max(int(w) - int(k), 1), 255 << 8)
+            np.testing.assert_array_equal(want, got)
+        for w in (255.0, 219.0):
+            got = np.asarray(_levels_uv(jnp.asarray(b), jnp.float32(w), 8))
+            m = 128 << 8
+            n = np.maximum((b.astype(np.int64) - m) * 255 + m * int(w), 0)
+            want = np.minimum(n // int(w), 255 << 8)
+            np.testing.assert_array_equal(want, got)
