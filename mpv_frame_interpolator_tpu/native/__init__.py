@@ -45,6 +45,8 @@ class FramePool:
 
     def __init__(self, max_entries: int = 16):
         self._pool = _native.BufferPool(max_entries) if HAVE_NATIVE else None
+        # keyed by buffer address: stable and unique while the buffer is
+        # alive (id() of the array can be reused after GC)
         self._live = {}
 
     def get(self, shape, dtype) -> np.ndarray:
@@ -54,11 +56,14 @@ class FramePool:
             return np.empty(shape, dtype)
         mv = self._pool.get(nbytes)
         arr = np.frombuffer(mv, dtype).reshape(shape)
-        self._live[id(arr)] = mv
+        self._live[arr.__array_interface__["data"][0]] = mv
         return arr
 
     def give_back(self, arr: np.ndarray):
-        mv = self._live.pop(id(arr), None)
+        base = arr
+        while base.base is not None and isinstance(base.base, np.ndarray):
+            base = base.base
+        mv = self._live.pop(base.__array_interface__["data"][0], None)
         if mv is not None and self._pool is not None:
             self._pool.give_back(mv)
 

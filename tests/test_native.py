@@ -39,3 +39,12 @@ class TestFramePool:
         pool.give_back(a)
         c = pool.get((32, 32), np.uint16)
         assert c.nbytes == 32 * 32 * 2
+
+    def test_give_back_by_buffer_address(self):
+        pool = native.FramePool()
+        a = pool.get((8, 8), np.uint8)
+        addr = a.__array_interface__["data"][0]
+        pool.give_back(a)
+        if native.HAVE_NATIVE:
+            b = pool.get((8, 8), np.uint8)
+            assert b.__array_interface__["data"][0] == addr  # recycled
