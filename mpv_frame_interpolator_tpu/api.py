@@ -66,7 +66,8 @@ class Player:
         # property registry: name -> (getter, setter-or-None)
         self._props = {
             "speed": (lambda: e.cadence.playback_speed, e.set_speed),
-            "display-fps": (lambda: 1.0 / e.cadence.target_frame_time, None),
+            "display-fps": (lambda: 1.0 / e.cadence.target_frame_time,
+                            self._set_display_fps),
             "source-fps": (lambda: e.cadence.source_fps, None),
             "frame-output-mode": (lambda: e.frame_output_mode,
                                   self._set_mode),
@@ -143,6 +144,17 @@ class Player:
     def _set_model(self, v):
         from mpv_frame_interpolator_tpu import models as _models
         self.engine.config.model = _models.validate(str(v))
+
+    def _set_display_fps(self, v):
+        """Display refresh changed (monitor hot-swap / mode switch): the
+        reference queries the VO once at filter creation
+        (vf_HopperRender.c:676-682) and cannot adapt; here the cadence
+        retargets and resyncs like a speed change."""
+        fps = float(v)
+        if fps <= 0:
+            raise ValueError("display-fps must be positive")
+        self.engine.cadence.target_frame_time = 1.0 / fps
+        self.engine.cadence.resync = True
 
     # ---- commands (mpv_command analog) ----------------------------------
 

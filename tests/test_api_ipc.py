@@ -180,3 +180,23 @@ class TestModelSwitch:
         assert len(outs2) >= 2
         with pytest.raises(Exception):
             p.set_property("model", "bogus")
+
+
+class TestDisplayFpsRetarget:
+    def test_display_fps_change_retargets_cadence(self, small_cfg):
+        p = make_player()
+        outs = list(p.feed_all(synthetic.moving_box(small_cfg, 3)))
+        assert len(outs) == 1 + 3 + 2        # 24->60
+        p.set_property("display-fps", 120.0)
+        assert p.get_property("display-fps") == pytest.approx(120.0)
+        frames = [f.with_pts(f.pts + 1.0) for f in
+                  synthetic.moving_box(small_cfg, 2)]
+        for f in frames:
+            f.nominal_fps = 24.0
+        outs2 = []
+        for f in frames:
+            outs2.extend(p.feed(f))
+        # 24->120: 5 outputs per source pair
+        assert len(outs2) == 10
+        with pytest.raises(ValueError):
+            p.set_property("display-fps", 0)
