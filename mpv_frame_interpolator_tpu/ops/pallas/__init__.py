@@ -9,8 +9,8 @@ memory-bound limit.  Measured on TPU v5e (see ARCHITECTURE.md §perf):
   gather runs at tens of G-elements/s and the fused elementwise code
   around it is memory-bound, so those stay on the XLA path;
 * the flow box blur is a dense, tile-regular op implemented here as a
-  Pallas kernel (blur_flow_pallas), wired in via ops.flow.make_flow_fn
-  (pallas_blur=True).
+  Pallas kernel (blur_flow_pallas), wired in via EngineConfig.pallas_blur /
+  make_flow_fn(pallas_blur=True).
 
 All kernels run under interpret=True on CPU (tests exercise them without
 TPU hardware, SURVEY.md §4.8 analog of vo_null testing).

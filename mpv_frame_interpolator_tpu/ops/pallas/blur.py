@@ -38,8 +38,13 @@ def _blur_kernel(pad_ref, out_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("lh", "lw", "interpret"))
-def blur_flow_pallas(offset, lh: int, lw: int, interpret: bool = False):
-    """Drop-in replacement for ops.flow.blur_flow; offset (2, lh, lw) int."""
+def blur_flow_pallas(offset, lh: int, lw: int, interpret: bool = None):
+    """Drop-in replacement for ops.flow.blur_flow; offset (2, lh, lw) int.
+
+    interpret=None auto-selects: compiled on TPU, interpreter elsewhere
+    (CPU tests / vo_null-style runs without hardware)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     r = RADIUS
     padded = jnp.pad(offset.astype(jnp.int32), ((0, 0), (r, r), (r, r)),
                      mode="symmetric")

@@ -8,7 +8,7 @@ driver (vf_HopperRender.c:512-533, opticalFlowCalc.c), re-imagined for XLA:
   invocations; a pull-based Python pipeline doesn't need that).
 * Device state is a pair of planar frame pytrees (ping-pong by rebinding,
   the XLA analog of the cl_mem swap in opticalFlowCalc.c:102-106).
-* Flow runs once per source pair; each output frame is one fused warp
+* Flow runs once per source pair; ALL of the pair's warps ride one fused
   dispatch.  Everything stays on device until the sink downloads.
 * Scene-cut handling is branchless-on-host: the cut decision is a traced
   scalar folded into the warp (flow zeroed, blend snapped), so no device
@@ -67,6 +67,8 @@ class EngineConfig:
     # TPU for the 1080p flow program ("" disables)
     compilation_cache_dir: str = "~/.cache/mfi_tpu/jax"
     model: str = "hopper"            # interpolator family (models/)
+    pallas_blur: bool = False        # hand Pallas kernel for the flow blur
+                                     # (ops/pallas/blur.py; bit-identical)
 
     def __post_init__(self):
         # startup validation mirroring vf_HopperRender_create
@@ -130,7 +132,8 @@ class _DeviceFrame:
 @functools.lru_cache(maxsize=128)
 def _make_source_step(geom: FlowGeometry, mode: int,
                       scale_shift: int, cut_policy: str,
-                      scene_enabled: bool, model: str = "hopper"):
+                      scene_enabled: bool, model: str = "hopper",
+                      pallas_blur: bool = False):
     """ONE fused device dispatch per source pair: scene-cut score ->
     hierarchical flow -> N batched warps -> NV12 re-interleave.
 
@@ -163,7 +166,8 @@ def _make_source_step(geom: FlowGeometry, mode: int,
         if model in ("hopper", "hopperx", "hopperq"):
             offset, blurred = _flow_impl(geom, radius, scale_shift,
                                          f1y, f1u, f1v, f2y, f2u, f2v,
-                                         ds, nbs, layers=MAX_SEARCH_RADIUS)
+                                         ds, nbs, layers=MAX_SEARCH_RADIUS,
+                                         pallas_blur=pallas_blur)
         else:
             # blend / repeat families: null flow field (models/__init__.py)
             offset = jnp.zeros((2, geom.low_h, geom.low_w), jnp.int32)
@@ -292,7 +296,8 @@ class InterpolationEngine:
         sizes = {1, base_n, max(base_n - 1, 1), base_n + 1}
         step = _make_source_step(self.geom, self.frame_output_mode,
                                  self._scale_shift, self.config.cut_policy,
-                                 self.scene.enabled, self.config.model)
+                                 self.scene.enabled, self.config.model,
+                                 self.config.pallas_blur)
         last = None
         for n in sizes:
             last = step(zy, zc, zc, zy, zc, zc,
@@ -375,7 +380,7 @@ class InterpolationEngine:
         step = _make_source_step(self.geom,
                                  self.frame_output_mode, self._scale_shift,
                                  self.config.cut_policy, self.scene.enabled,
-                                 self.config.model)
+                                 self.config.model, self.config.pallas_blur)
         out_fmt = self._out_fmt()
         ts = jnp.asarray([slot.blend for slot in plan.outputs], jnp.float32)
         y, uv, blurred, cut_score = step(

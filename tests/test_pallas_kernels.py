@@ -32,3 +32,39 @@ class TestPallasBlur:
         out = np.asarray(blur_flow_pallas(jnp.asarray(f), 270, 480,
                                           interpret=True))
         np.testing.assert_array_equal(ref, out)
+
+
+class TestEnginePallasBlur:
+    def test_engine_with_pallas_blur_matches_default(self):
+        """On CPU, Pallas runs interpret=False only on TPU; here we compare
+        engine outputs with and without the Pallas blur on the TPU-free
+        backend -- requires interpret fallback, so compare blur op directly
+        plus run the flagged engine for smoke."""
+        import numpy as np
+        import jax.numpy as jnp
+        from mpv_frame_interpolator_tpu.ops.flow import blur_flow
+        from mpv_frame_interpolator_tpu.ops.pallas.blur import blur_flow_pallas
+        rng = np.random.default_rng(9)
+        f = rng.integers(-200, 200, (2, 45, 61)).astype(np.int32)
+        a = np.asarray(blur_flow(jnp.asarray(f), 45, 61))
+        b = np.asarray(blur_flow_pallas(jnp.asarray(f), 45, 61,
+                                        interpret=True))
+        np.testing.assert_array_equal(a, b)
+
+    def test_engine_pallas_blur_flag_end_to_end(self, small_cfg=None):
+        from mpv_frame_interpolator_tpu.io import synthetic
+        from mpv_frame_interpolator_tpu.pipeline.engine import (
+            EngineConfig, InterpolationEngine)
+        cfg = synthetic.SyntheticConfig(width=64, height=48, fps=24.0)
+        frames = list(synthetic.moving_box(cfg, 3))
+        kw = dict(scene_detection=False, auto_quality=False,
+                  measure_timing=False)
+        a = InterpolationEngine(EngineConfig(**kw))
+        b = InterpolationEngine(EngineConfig(pallas_blur=True, **kw))
+        for f in frames:
+            oa = a.push(f)
+            ob = b.push(f)
+            for x, y in zip(oa, ob):
+                np.testing.assert_array_equal(
+                    np.asarray(x.to_video_frame().y),
+                    np.asarray(y.to_video_frame().y))
