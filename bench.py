@@ -24,7 +24,7 @@ def main():
     height = int(os.environ.get("MFI_BENCH_HEIGHT", 2160))
     src_fps = float(os.environ.get("MFI_BENCH_SRC_FPS", 24.0))
     dst_fps = float(os.environ.get("MFI_BENCH_DST_FPS", 120.0))
-    n_frames = int(os.environ.get("MFI_BENCH_FRAMES", 24))
+    n_frames = int(os.environ.get("MFI_BENCH_FRAMES", 48))
     radius = int(os.environ.get("MFI_BENCH_RADIUS", 16))
     warmup = 6
 
