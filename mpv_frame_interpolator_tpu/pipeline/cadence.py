@@ -16,6 +16,14 @@ filter glue (vf_HopperRender.c):
 
 It is deliberately free of any device/compute dependency so it can be
 property-tested exhaustively (SURVEY.md §7 hard-part #5).
+
+Deliberate simplification vs the reference: all of a source frame's output
+slots are planned eagerly when the frame arrives, so a speed command lands
+between source frames; the reference trickles intermediates through
+repeated filter invocations and can in principle observe a speed change
+between two intermediates of the same pair (vf_HopperRender.c:541-555 is
+asynchronous).  The observable difference is at most one source frame of
+command latency.
 """
 
 from __future__ import annotations
