@@ -60,3 +60,12 @@ class TestOddGeometries:
         assert len(outs) == 6
         vf = outs[-1].to_video_frame()
         assert vf.fmt.width == w and vf.y.shape == (h, w)
+
+
+@pytest.mark.skipif(not __import__("os").environ.get("MFI_SLOW_TESTS"),
+                    reason="slow: ~3min of sharded compiles on 1 CPU core "
+                           "(the driver runs dryrun_multichip itself)")
+class TestDryrunMultichip:
+    def test_dryrun_8(self):
+        m = _load("__graft_entry__.py", "graft_entry_dryrun")
+        m.dryrun_multichip(8)
