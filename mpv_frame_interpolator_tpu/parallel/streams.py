@@ -33,7 +33,6 @@ import numpy as np
 
 from mpv_frame_interpolator_tpu.frame import FrameFormat, VideoFrame, split_chroma
 from mpv_frame_interpolator_tpu.ops.flow import FlowGeometry
-from mpv_frame_interpolator_tpu.ops import warp as warp_ops
 from mpv_frame_interpolator_tpu.pipeline.cadence import CadenceEngine
 from mpv_frame_interpolator_tpu.pipeline.engine import (
     EngineConfig, OutputFrame, _make_source_step)
