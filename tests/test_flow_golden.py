@@ -134,3 +134,12 @@ class TestDeviceMetrics:
         dev = float(psnr_device(jnp.asarray(a), jnp.asarray(b)))
         assert abs(host - dev) < 0.01
         assert float(psnr_device(jnp.asarray(a), jnp.asarray(a))) == 999.0
+
+
+class TestWraparound:
+    def test_delta_scalar_31_wraps_identically(self, small_cfg):
+        """delta << 31 wraps mod 2^32 (the reference's uint shifts,
+        calcDeltaSumsKernel.cl:99); oracle and JAX must wrap the same."""
+        _, off_ref, _, off_jax, _ = _run_both(small_cfg, ds=31, nbs=31,
+                                              radius=6)
+        np.testing.assert_array_equal(off_ref.astype(np.int32), off_jax)

@@ -136,3 +136,24 @@ class TestMultiStream:
                     np.testing.assert_array_equal(
                         np.asarray(x.to_video_frame().y),
                         np.asarray(y.to_video_frame().y))
+
+
+class TestRowShardedWarp:
+    def test_matches_unsharded(self, small_cfg):
+        import jax.numpy as jnp
+        from mpv_frame_interpolator_tpu.ops import oracle
+        from mpv_frame_interpolator_tpu.ops.warp import make_warp_fn, BLENDED_FRAME
+        from mpv_frame_interpolator_tpu.parallel.sharding import (
+            make_mesh, row_sharded_warp_fn)
+        f1, f2 = frame_pair(small_cfg, "gradient_pan")
+        geom = FlowGeometry.create(f1.fmt.height, f1.fmt.stride, f1.fmt.width)
+        _, blur = oracle.calculate_optical_flow(
+            f1.y, f1.uv, f2.y, f2.uv, search_radius=5,
+            res_scalar=geom.res_scalar, lh=geom.low_h, lw=geom.low_w)
+        a = [jnp.asarray(x) for x in (*planar(f1), *planar(f2))]
+        args = (*a, jnp.asarray(blur.astype(np.int32)), jnp.float32(0.4),
+                jnp.float32(0.0), jnp.float32(255.0))
+        ry, ru, rv = make_warp_fn(geom, BLENDED_FRAME)(*args)
+        sy, su, sv = row_sharded_warp_fn(geom, BLENDED_FRAME, make_mesh())(*args)
+        np.testing.assert_array_equal(np.asarray(ry), np.asarray(sy))
+        np.testing.assert_array_equal(np.asarray(ru), np.asarray(su))
