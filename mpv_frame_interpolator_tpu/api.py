@@ -94,6 +94,13 @@ class Player:
             "source-frame-num": (lambda: e.cadence.source_frame_num, None),
             "num-int-frames": (lambda: e.cadence.num_int_frames, None),
             "stats": (lambda: e.stats.summary(), None),
+            # telemetry mirrors of the applet status fields
+            # (vf_HopperRender.c:194-202)
+            "ofc-time": (lambda: e.stats.last("flow_time"), None),
+            "warp-time": (lambda: e.stats.last("warp_time"), None),
+            "total-time": (lambda: e.stats.last("source_frame_time"), None),
+            "calc-res": (self._calc_res, None),
+            "scene-cut-score": (e.last_cut_score, None),
         }
 
     # ---- properties -----------------------------------------------------
@@ -144,6 +151,12 @@ class Player:
     def _set_model(self, v):
         from mpv_frame_interpolator_tpu import models as _models
         self.engine.config.model = _models.validate(str(v))
+
+    def _calc_res(self):
+        g = self.engine.geom
+        if g is None:
+            return "0x0"
+        return f"{g.stride >> g.res_scalar}x{g.height >> g.res_scalar}"
 
     def _set_display_fps(self, v):
         """Display refresh changed (monitor hot-swap / mode switch): the

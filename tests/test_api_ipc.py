@@ -200,3 +200,14 @@ class TestDisplayFpsRetarget:
         assert len(outs2) == 10
         with pytest.raises(ValueError):
             p.set_property("display-fps", 0)
+
+
+class TestTelemetryProperties:
+    def test_telemetry_props(self, small_cfg):
+        p = make_player()
+        list(p.feed_all(synthetic.moving_box(small_cfg, 3)))
+        assert p.get_property("calc-res") == "64x48"
+        assert p.get_property("scene-cut-score") >= 0.0
+        assert p.get_property("ofc-time") >= 0.0
+        for name in ("warp-time", "total-time"):
+            assert isinstance(p.get_property(name), float)
