@@ -143,3 +143,26 @@ class TestWraparound:
         _, off_ref, _, off_jax, _ = _run_both(small_cfg, ds=31, nbs=31,
                                               radius=6)
         np.testing.assert_array_equal(off_ref.astype(np.int32), off_jax)
+
+
+class TestPartialPyramid:
+    """NUM_ITERATIONS knob (config.h:4): a nonzero value caps the pyramid
+    depth (opticalFlowCalc.c:146-149)."""
+
+    @pytest.mark.parametrize("num_iter", [1, 2, 3])
+    def test_capped_iterations_exact(self, small_cfg, num_iter):
+        f1, f2 = frame_pair(small_cfg, "gradient_pan")
+        geom = FlowGeometry.create(f1.fmt.height, f1.fmt.stride,
+                                   f1.fmt.width, num_iter_cfg=num_iter)
+        assert geom.iterations == num_iter
+        off_ref, blur_ref = oracle.calculate_optical_flow(
+            f1.y, f1.uv, f2.y, f2.uv, search_radius=7,
+            res_scalar=geom.res_scalar, lh=geom.low_h, lw=geom.low_w,
+            num_iter_cfg=num_iter)
+        fn = make_flow_fn(geom, 7)
+        off_jax, blur_jax = fn(*planar(f1), *planar(f2),
+                               jnp.int32(8), jnp.int32(6))
+        np.testing.assert_array_equal(off_ref.astype(np.int32),
+                                      np.asarray(off_jax))
+        np.testing.assert_array_equal(blur_ref.astype(np.int32),
+                                      np.asarray(blur_jax))
