@@ -90,6 +90,8 @@ class Player:
             "scene-threshold": (lambda: e.scene.threshold,
                                 lambda v: setattr(e.scene, "threshold", float(v))),
             "model": (lambda: e.config.model, self._set_model),
+            "max-calc-res": (lambda: e.config.max_calc_res,
+                             self._set_max_calc_res),
             "blending-scalar": (lambda: e.cadence.blending_scalar, None),
             "source-frame-num": (lambda: e.cadence.source_frame_num, None),
             "num-int-frames": (lambda: e.cadence.num_int_frames, None),
@@ -151,6 +153,16 @@ class Player:
     def _set_model(self, v):
         from mpv_frame_interpolator_tpu import models as _models
         self.engine.config.model = _models.validate(str(v))
+
+    def _set_max_calc_res(self, v):
+        """Quality knob beyond the reference (hard 270-row cap, config.h:2):
+        raises/lowers the flow resolution; re-derives geometry on the next
+        source frame (recompile, so not a per-frame knob)."""
+        v = int(v)
+        if v < 64:
+            raise ValueError("max-calc-res must be >= 64")
+        self.engine.config.max_calc_res = v
+        self.engine._fmt = None   # force geometry re-derivation
 
     def _calc_res(self):
         g = self.engine.geom

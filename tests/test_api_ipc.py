@@ -211,3 +211,22 @@ class TestTelemetryProperties:
         assert p.get_property("ofc-time") >= 0.0
         for name in ("warp-time", "total-time"):
             assert isinstance(p.get_property(name), float)
+
+
+class TestMaxCalcRes:
+    def test_runtime_flow_resolution_change(self):
+        cfg = synthetic.SyntheticConfig(width=256, height=544, fps=24.0)
+        p = make_player()
+        frames = list(synthetic.gradient_pan(cfg, 3))
+        for f in frames:
+            p.feed(f)
+        assert p.get_property("calc-res") == "64x136"   # 544>>2
+        p.set_property("max-calc-res", 544)
+        frames2 = [f.with_pts(f.pts + 1.0) for f in
+                   synthetic.gradient_pan(cfg, 2)]
+        for f in frames2:
+            f.nominal_fps = 24.0
+            p.feed(f)
+        assert p.get_property("calc-res") == "256x544"  # full res flow
+        with pytest.raises(ValueError):
+            p.set_property("max-calc-res", 8)
