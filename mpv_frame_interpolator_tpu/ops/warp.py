@@ -301,7 +301,7 @@ def _warp_sample(geom: FlowGeometry, mode: int, scale_shift: int, dtype,
         val = (s12q * fs21 + s21q * fs12) * np.float32(1.0 / 4096.0)
         blended = jnp.floor(val + 0.5).astype(jnp.int32)
         out_y = _levels_y(blended, black, white, scale_shift)
-    if mode not in (WARPED_FRAME_12, WARPED_FRAME_21) and not use_bilinear:
+    else:
         s12 = _gather(f1y, ncy12, ncx12)
         s21 = _gather(f2y, ncy21, ncx21)
         blended = _blend_fix(s12, s21, fs12, scale_shift)
