@@ -69,6 +69,9 @@ class EngineConfig:
     model: str = "hopper"            # interpolator family (models/)
     pallas_blur: bool = False        # hand Pallas kernel for the flow blur
                                      # (ops/pallas/blur.py; bit-identical)
+    stats_log_path: str = ""         # append per-source-frame compute time
+                                     # (SAVE_STATS/ofclog.txt analog,
+                                     # vf_HopperRender.c:313-324)
 
     def __post_init__(self):
         # startup validation mirroring vf_HopperRender_create
@@ -403,6 +406,9 @@ class InterpolationEngine:
             if was_warm:
                 self._last_calc_duration = dur
                 self.stats.add("source_frame_time", dur)
+                if self.config.stats_log_path:
+                    with open(self.config.stats_log_path, "a") as fh:
+                        fh.write(f"{dur:.6f}\n")
                 # the fused dispatch has no flow/warp boundary; attribute
                 # the whole duration for telemetry and split heuristically
                 self.stats.add("flow_time", dur * 0.4)

@@ -277,3 +277,17 @@ class TestP010LevelsSpec:
             n = np.maximum((b.astype(np.int64) - m) * 255 + m * int(w), 0)
             want = np.minimum(n // int(w), 255 << 8)
             np.testing.assert_array_equal(want, got)
+
+
+class TestStatsLog:
+    def test_per_frame_stats_log(self, small_cfg, tmp_path):
+        path = str(tmp_path / "ofclog.txt")
+        eng = make_engine(measure_timing=True, stats_log_path=path)
+        frames = list(synthetic.moving_box(small_cfg, 4))
+        for f in frames:
+            for o in eng.push(f):
+                o.block()
+        lines = open(path).read().splitlines()
+        # warm-gated: at least one measured line once specialization is warm
+        assert len(lines) >= 1
+        assert all(float(x) >= 0 for x in lines)
