@@ -107,6 +107,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write the stats-registry summary (JSON) to this "
                         "file at exit (--dump-stats analog)")
     p.add_argument("-v", "--verbose", action="count", default=0)
+    from mpv_frame_interpolator_tpu import __version__
+    p.add_argument("--version", action="version",
+                   version=f"mpv_frame_interpolator_tpu {__version__}")
     return p
 
 

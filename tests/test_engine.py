@@ -291,3 +291,24 @@ class TestStatsLog:
         # warm-gated: at least one measured line once specialization is warm
         assert len(lines) >= 1
         assert all(float(x) >= 0 for x in lines)
+
+
+class TestModeSwitchMidStream:
+    def test_output_mode_change_between_frames(self, small_cfg):
+        from mpv_frame_interpolator_tpu.control.applet import apply_command_code
+        eng = make_engine()
+        frames = list(synthetic.moving_box(small_cfg, 4))
+        outs = []
+        outs.extend(eng.push(frames[0]))
+        outs.extend(eng.push(frames[1]))
+        apply_command_code(eng, 6)   # switch to GreyFlow mid-stream
+        o3 = eng.push(frames[2])
+        outs.extend(o3)
+        # grey-flow frames: neutral chroma everywhere
+        vf = o3[0].to_video_frame()
+        assert np.all(vf.uv == 128)
+        apply_command_code(eng, 4)   # back to blended
+        o4 = eng.push(frames[3])
+        vf4 = o4[0].to_video_frame()
+        assert not np.all(vf4.uv == 128)
+        assert len(outs) + len(o4) == 1 + 3 + 2 + 3
