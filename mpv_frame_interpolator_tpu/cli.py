@@ -62,7 +62,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "or FrameOutput integer 0-6 (vf_HopperRender.c:21)")
     p.add_argument("--speed", type=float, default=1.0, help="playback speed")
     p.add_argument("--model", default="hopper",
-                   help="interpolator family: hopper|blend|repeat")
+                   help="interpolator family: hopper|hopperx|hopperq|blend|repeat")
     p.add_argument("--search-radius", type=int, default=5,
                    help="initial optical-flow search radius [5..16]")
     p.add_argument("--no-auto-quality", action="store_true",
