@@ -78,15 +78,31 @@ class Y4MReader:
         itemsize = dtype().itemsize
         ysz = w * h * itemsize
         csz = (w // 2) * (h // 2) * itemsize
+        total = ysz + 2 * csz
+        readinto = getattr(self._fh, "readinto", None)
         while True:
             line = self._fh.readline()
             if not line:
                 return
             if not line.startswith(b"FRAME"):
                 raise Y4MError(f"bad frame marker: {line[:20]!r}")
-            buf = self._fh.read(ysz + 2 * csz)
-            if len(buf) < ysz + 2 * csz:
-                return
+            if readinto is not None:
+                # read straight into the frame's own buffer: one copy
+                # fewer than read()+frombuffer (the planes below are views)
+                buf = np.empty(total, np.uint8)
+                mv = memoryview(buf)
+                filled = 0
+                while filled < total:
+                    got = readinto(mv[filled:])
+                    if not got:
+                        break
+                    filled += got
+                if filled < total:
+                    return
+            else:
+                buf = self._fh.read(total)
+                if len(buf) < total:
+                    return
             y = np.frombuffer(buf, dtype, w * h, 0).reshape(h, w)
             u = np.frombuffer(buf, dtype, (w // 2) * (h // 2), ysz).reshape(h // 2, w // 2)
             v = np.frombuffer(buf, dtype, (w // 2) * (h // 2), ysz + csz).reshape(h // 2, w // 2)
