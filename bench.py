@@ -11,6 +11,10 @@ A value >= 1.0 means sustained real-time 1080p 24->60 interpolation.
 
 Env knobs:
   MFI_BENCH_WIDTH/HEIGHT/SRC_FPS/DST_FPS/FRAMES/RADIUS  override the config
+  MFI_BENCH_P010=1   run the 10-bit pipeline
+  MFI_BENCH_MODE     FrameOutput mode integer (default 2 = blended)
+  MFI_BENCH_MODEL    hopper|hopperx|hopperq (default hopper)
+  MFI_BENCH_STREAMING=1  keep per-frame host->HBM uploads in the timing
 """
 
 import json
@@ -26,13 +30,17 @@ def main():
     dst_fps = float(os.environ.get("MFI_BENCH_DST_FPS", 120.0))
     n_frames = int(os.environ.get("MFI_BENCH_FRAMES", 48))
     radius = int(os.environ.get("MFI_BENCH_RADIUS", 16))
+    p010 = bool(int(os.environ.get("MFI_BENCH_P010", "0")))
+    mode = int(os.environ.get("MFI_BENCH_MODE", 2))
+    model = os.environ.get("MFI_BENCH_MODEL", "hopper")
     warmup = 6
 
     from mpv_frame_interpolator_tpu.io import synthetic
     from mpv_frame_interpolator_tpu.pipeline.engine import (
         EngineConfig, InterpolationEngine)
 
-    cfg = synthetic.SyntheticConfig(width=width, height=height, fps=src_fps)
+    cfg = synthetic.SyntheticConfig(width=width, height=height, fps=src_fps,
+                                    pixfmt="p010" if p010 else "nv12")
     frames = list(synthetic.gradient_pan(cfg, warmup + n_frames, vx=3, vy=1))
 
     # Default: stage source planes on device first (the framework's
@@ -52,6 +60,8 @@ def main():
         initial_search_radius=radius,
         scene_detection=True,
         measure_timing=False,
+        frame_output_mode=mode,
+        model=model,
     ))
 
     # warmup: compiles flow + warp
@@ -95,8 +105,9 @@ def main():
         return xs[min(int(len(xs) * 0.99), len(xs) - 1)] * 1e3
 
     print(json.dumps({
-        "metric": f"interpolated frames/sec, {width}x{height} "
-                  f"{src_fps:g}->{dst_fps:g} (blended, radius {radius})",
+        "metric": f"interpolated frames/sec, {width}x{height}"
+                  f"{' p010' if p010 else ''} {src_fps:g}->{dst_fps:g} "
+                  f"(mode {mode}, {model}, radius {radius})",
         "value": round(fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(fps / dst_fps, 4),
