@@ -230,3 +230,25 @@ class TestMaxCalcRes:
         assert p.get_property("calc-res") == "256x544"  # full res flow
         with pytest.raises(ValueError):
             p.set_property("max-calc-res", 8)
+
+
+class TestIpcPropertyList:
+    def test_property_list(self, tmp_path):
+        import json as _json
+        import socket as _socket
+        p = make_player()
+        sock_path = str(tmp_path / "pl.sock")
+        srv = IPCServer(sock_path, p)
+        srv.start()
+        try:
+            c = _socket.socket(_socket.AF_UNIX, _socket.SOCK_STREAM)
+            c.connect(sock_path)
+            f = c.makefile("rwb")
+            f.write(b'{"command": ["property-list"]}\n')
+            f.flush()
+            r = _json.loads(f.readline())
+            assert r["error"] == "success"
+            assert "speed" in r["data"] and "model" in r["data"]
+            c.close()
+        finally:
+            srv.stop()

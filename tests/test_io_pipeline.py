@@ -326,3 +326,22 @@ class TestFfmpegDecode:
         monkeypatch.setenv("PATH", "/nonexistent")
         with pytest.raises(RuntimeError, match="ffmpeg is not installed"):
             list(decode.ffmpeg_source("x.mkv"))
+
+
+class TestPgm16:
+    def test_pgm_dump_p010(self, tmp_path):
+        cfg = synthetic.SyntheticConfig(width=64, height=48, fps=24.0,
+                                        pixfmt=P010)
+        e = eng()
+        sink = sinks.PgmDumpSink(str(tmp_path))
+        for f in synthetic.moving_box(cfg, 2):
+            for o in e.push(f):
+                sink.write(o)
+        files = sorted(os.listdir(tmp_path))
+        assert len(files) == 4
+        with open(tmp_path / files[0], "rb") as fh:
+            assert fh.readline().strip() == b"P5"
+            assert fh.readline().strip() == b"64 48"
+            assert fh.readline().strip() == b"255"
+            data = fh.read()
+            assert len(data) == 64 * 48
