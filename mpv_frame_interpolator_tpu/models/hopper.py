@@ -56,7 +56,12 @@ class HopperModel:
 
     def synthesize(self, f1y, f1u, f1v, f2y, f2u, f2v, blurred, t,
                    black=0.0, white=255.0):
-        """One in-between frame at blend position t -> (y, u, v)."""
+        """One in-between frame at blend position t -> (y, u, v).
+
+        t must be <= 1.0 (the reference rejects larger scalars,
+        opticalFlowCalc.c:209-211)."""
+        if float(t) > 1.0:
+            raise ValueError("blending scalar must be <= 1.0")
         fn = make_warp_fn(self.geom, self.mode, self.scale_shift)
         return fn(f1y, f1u, f1v, f2y, f2u, f2v, blurred,
                   jnp.float32(t), jnp.float32(black), jnp.float32(white))

@@ -231,3 +231,21 @@ class TestHopperQ:
         for f in synthetic.moving_box(small_cfg, 3):
             outs.extend(e.push(f))
         assert len(outs) == 6
+
+
+class TestModelGuards:
+    def test_blend_scalar_guard(self, small_cfg):
+        # opticalFlowCalc.c:209-211 rejects blendingScalar > 1.0
+        import jax.numpy as jnp
+        f1, f2 = frame_pair(small_cfg)
+        m = HopperModel.for_frame(f1.fmt.height, f1.fmt.width)
+        a = [jnp.asarray(x) for x in (*planar(f1), *planar(f2))]
+        _, blur = m.analyze(*a)
+        with pytest.raises(ValueError, match="blending scalar"):
+            m.synthesize(*a, blur, 1.5)
+
+    def test_engine_flush_is_empty(self, small_cfg):
+        e = eng()
+        for f in synthetic.moving_box(small_cfg, 2):
+            e.push(f)
+        assert e.flush() == []
