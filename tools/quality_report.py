@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Quality report: PSNR of each model family against analytic ground truth.
+
+Uses content whose true in-between frames are computable exactly:
+  * integer-shift pan   -- ground truth on the pixel grid (flow must lock)
+  * sinusoidal pattern  -- ground truth at ANY sub-pixel position
+    (shows what hopperq's 1/64-pel sampling buys)
+
+Prints a small table; runs on whatever backend is active.
+
+    PYTHONPATH=.:$PYTHONPATH python tools/quality_report.py
+"""
+
+import sys
+
+import numpy as np
+import jax.numpy as jnp
+
+from mpv_frame_interpolator_tpu.frame import (
+    FrameFormat, VideoFrame, interleave_chroma, psnr_arrays, split_chroma)
+from mpv_frame_interpolator_tpu.models.hopper import HopperModel
+from mpv_frame_interpolator_tpu.ops import warp as W
+
+
+def sine_frames(shift, w=256, h=128):
+    def pattern(delta):
+        x = np.arange(w)[None, :] - delta
+        y = np.arange(h)[:, None]
+        val = (128 + 80 * np.sin(2 * np.pi * x / 24.0)
+               + 30 * np.sin(2 * np.pi * (x + 2 * y) / 40.0))
+        return np.clip(val, 0, 255).astype(np.uint8)
+
+    def mk(delta, pts):
+        u = np.full((h // 2, w // 2), 128, np.uint8)
+        v = np.full((h // 2, w // 2), 128, np.uint8)
+        return VideoFrame(pattern(delta), interleave_chroma(u, v),
+                          FrameFormat(w, h), pts=pts, nominal_fps=24.0)
+    return mk(0.0, 0.0), mk(float(shift), 1 / 24.0), pattern
+
+
+def planar(f):
+    u, v = split_chroma(f.uv)
+    return jnp.asarray(f.y), jnp.asarray(u), jnp.asarray(v)
+
+
+def run():
+    import jax
+    print(f"backend: {jax.default_backend()}")
+    shift = 6
+    f1, f2, pattern = sine_frames(shift)
+    m = HopperModel.for_frame(f1.fmt.height, f1.fmt.width, search_radius=10)
+    a = [*planar(f1), *planar(f2)]
+    _, blur = m.analyze(*a)
+    crop = (slice(12, -12), slice(24, -24))
+
+    rows = []
+    for t in (0.25, 0.4, 0.5, 0.75):
+        gt = pattern(shift * t)[crop]
+        fields = W._warp_fields(m.geom, blur)
+
+        def render(**kw):
+            y, _, _ = W._warp_sample(
+                m.geom, W.BLENDED_FRAME, 0, jnp.uint8, *a, fields,
+                jnp.float32(t), jnp.float32(0.0), jnp.float32(255.0), **kw)
+            return np.asarray(y)[crop]
+
+        zero = np.zeros_like(np.asarray(blur))
+        fields0 = W._warp_fields(m.geom, jnp.asarray(zero))
+
+        def render_blend():
+            y, _, _ = W._warp_sample(
+                m.geom, W.BLENDED_FRAME, 0, jnp.uint8, *a, fields0,
+                jnp.float32(t), jnp.float32(0.0), jnp.float32(255.0))
+            return np.asarray(y)[crop]
+
+        rows.append((t, {
+            "blend (no flow)": psnr_arrays(render_blend(), gt, 255),
+            "hopper": psnr_arrays(render(), gt, 255),
+            "hopperx": psnr_arrays(render(occlusion_aware=True), gt, 255),
+            "hopperq": psnr_arrays(render(bilinear=True), gt, 255),
+        }))
+
+    def cap2(x):
+        return min(x, 99.0)
+    names = list(rows[0][1])
+    print(f"{'t':>5} " + " ".join(f"{n:>16}" for n in names))
+    for t, vals in rows:
+        print(f"{t:>5} " + " ".join(f"{cap2(vals[n]):>14.1f}dB" for n in names))
+    def cap(x):   # exact hits (integer positions) print as 99dB
+        return min(x, 99.0)
+    mean = {n: sum(cap(v[n]) for _, v in rows) / len(rows) for n in names}
+    print(f"{'mean':>5} " + " ".join(f"{mean[n]:>14.1f}dB" for n in names))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(run())
