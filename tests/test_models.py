@@ -249,3 +249,49 @@ class TestModelGuards:
         for f in synthetic.moving_box(small_cfg, 2):
             e.push(f)
         assert e.flush() == []
+
+
+class TestHopperQChroma:
+    def test_subpixel_chroma(self):
+        """Chroma sine pan: hopperq's bilinear chroma must beat nearest."""
+        import jax.numpy as jnp
+        from mpv_frame_interpolator_tpu.frame import (
+            FrameFormat, VideoFrame, interleave_chroma, psnr_arrays)
+        from mpv_frame_interpolator_tpu.ops import warp as W
+
+        w, h, shift = 128, 64, 6
+
+        def upat(delta):
+            # chroma-plane sine (planar coords); delta in LUMA pixels
+            x = np.arange(w // 2)[None, :] - delta / 2.0
+            y = np.arange(h // 2)[:, None]
+            return np.clip(128 + 60 * np.sin(2 * np.pi * (x + y / 3) / 10.0),
+                           0, 255).astype(np.uint8)
+
+        def ypat(delta):
+            x = np.arange(w)[None, :] - delta
+            return np.clip(128 + 80 * np.sin(2 * np.pi * x / 16.0), 0, 255
+                           ).astype(np.uint8) * np.ones((h, 1), np.uint8)
+
+        def mk(delta, pts):
+            return VideoFrame(ypat(delta),
+                              interleave_chroma(upat(delta), upat(delta)),
+                              FrameFormat(w, h), pts=pts, nominal_fps=24.0)
+
+        f1, f2 = mk(0, 0.0), mk(shift, 1 / 24.0)
+        m = HopperModel.for_frame(h, w, search_radius=8)
+        a = [jnp.asarray(x) for x in (*planar(f1), *planar(f2))]
+        _, blur = m.analyze(*a)
+        fields = W._warp_fields(m.geom, blur)
+        t = 0.4
+        gt_u = upat(shift * t)[4:-4, 8:-8]
+
+        def render(**kw):
+            _, u, _ = W._warp_sample(
+                m.geom, W.BLENDED_FRAME, 0, jnp.uint8, *a, fields,
+                jnp.float32(t), jnp.float32(0.0), jnp.float32(255.0), **kw)
+            return np.asarray(u)[4:-4, 8:-8]
+
+        p_near = psnr_arrays(render(), gt_u, 255)
+        p_bilin = psnr_arrays(render(bilinear=True), gt_u, 255)
+        assert p_bilin > p_near + 2.0, (p_near, p_bilin)
