@@ -69,3 +69,18 @@ class TestDryrunMultichip:
     def test_dryrun_8(self):
         m = _load("__graft_entry__.py", "graft_entry_dryrun")
         m.dryrun_multichip(8)
+
+
+class TestBenchP010:
+    def test_bench_p010_knob(self, monkeypatch, capsys):
+        monkeypatch.setenv("MFI_BENCH_WIDTH", "64")
+        monkeypatch.setenv("MFI_BENCH_HEIGHT", "48")
+        monkeypatch.setenv("MFI_BENCH_FRAMES", "3")
+        monkeypatch.setenv("MFI_BENCH_RADIUS", "5")
+        monkeypatch.setenv("MFI_BENCH_P010", "1")
+        monkeypatch.setenv("MFI_BENCH_MODEL", "hopperq")
+        bench = _load("bench.py", "bench_p010_under_test")
+        assert bench.main() == 0
+        payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert "p010" in payload["metric"] and "hopperq" in payload["metric"]
+        assert payload["value"] > 0
