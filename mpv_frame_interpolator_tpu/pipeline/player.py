@@ -82,7 +82,7 @@ class Pipeline:
                  engine: InterpolationEngine, sink,
                  present: Optional[PresentClock] = None,
                  prefetch: int = 4, stage_uploads: bool = True,
-                 fail_open: bool = True):
+                 fail_open: bool = True, adapt_display_rate: bool = True):
         self.source = source
         self.engine = engine
         self.sink = sink
@@ -94,6 +94,11 @@ class Pipeline:
         # chain and playback continues with source frames passed through
         self.fail_open = fail_open
         self.engine_failed = False
+        # display-sync adaptation (vo.c:416 check_estimated_display_fps
+        # analog): retarget the cadence to the MEASURED refresh when the
+        # presentation feedback shows a stable, nearby estimate (e.g.
+        # 59.94Hz panel driven with a nominal 60)
+        self.adapt_display_rate = adapt_display_rate
         self.frames_in = 0
         self.frames_out = 0
         self._commands: "queue.Queue" = queue.Queue()
@@ -118,6 +123,27 @@ class Pipeline:
                         self.present.reset()
         except queue.Empty:
             pass
+
+    def _maybe_adapt_display_rate(self):
+        """Retarget the cadence to the measured refresh rate once the
+        estimate is stable and plausibly the same mode (within 5% of the
+        nominal; vo.c:416-450 uses the same idea with stricter windows).
+        Untimed runs never adapt (flip intervals are meaningless)."""
+        pc = self.present
+        if (not self.adapt_display_rate or pc.untimed
+                or pc.presented % 128 != 0 or pc.presented < 128):
+            return
+        est = pc.estimated_display_fps()
+        nominal = pc.display_fps
+        if est <= 0 or abs(est - nominal) / nominal > 0.05:
+            return
+        if pc.vsync_jitter() > 0.2 * pc.vsync_interval:
+            return
+        new_tft = 1.0 / est
+        if abs(new_tft - self.engine.cadence.target_frame_time) > 1e-9:
+            log.info("display-sync: retargeting cadence to measured "
+                     "%.4f Hz (nominal %.4f)", est, nominal)
+            self.engine.cadence.target_frame_time = new_tft
 
     def run(self, max_source_frames: Optional[int] = None):
         reader = _Prefetcher(self.source, self.prefetch,
@@ -149,6 +175,8 @@ class Pipeline:
                             continue
                     self.sink.write(out)
                     self.frames_out += 1
+                if self.present is not None:
+                    self._maybe_adapt_display_rate()
                 if max_source_frames and self.frames_in >= max_source_frames:
                     break
         finally:

@@ -345,3 +345,34 @@ class TestPgm16:
             assert fh.readline().strip() == b"255"
             data = fh.read()
             assert len(data) == 64 * 48
+
+
+class TestDisplaySyncAdaptation:
+    def test_retargets_to_measured_refresh(self, small_cfg):
+        """vo.c check_estimated_display_fps analog: stable measured
+        refresh near the nominal retargets the cadence."""
+        e = eng()
+        pipe = Pipeline(iter(()), e, sinks.NullSink(),
+                        PresentClock(60.0))
+        pc = pipe.present
+        pc.presented = 128
+        pc.untimed = False
+        pc.estimated_display_fps = lambda: 59.94
+        pc.vsync_jitter = lambda: 0.0
+        pipe._maybe_adapt_display_rate()
+        assert 1.0 / e.cadence.target_frame_time == pytest.approx(59.94)
+
+    def test_ignores_unstable_or_far_estimates(self, small_cfg):
+        e = eng()
+        pipe = Pipeline(iter(()), e, sinks.NullSink(), PresentClock(60.0))
+        pc = pipe.present
+        pc.presented = 128
+        pc.untimed = False
+        pc.estimated_display_fps = lambda: 48.0   # >5% off: mode mismatch
+        pc.vsync_jitter = lambda: 0.0
+        pipe._maybe_adapt_display_rate()
+        assert 1.0 / e.cadence.target_frame_time == pytest.approx(60.0)
+        pc.estimated_display_fps = lambda: 59.9
+        pc.vsync_jitter = lambda: 1.0             # jittery: don't trust
+        pipe._maybe_adapt_display_rate()
+        assert 1.0 / e.cadence.target_frame_time == pytest.approx(60.0)
