@@ -99,6 +99,12 @@ class Pipeline:
         # presentation feedback shows a stable, nearby estimate (e.g.
         # 59.94Hz panel driven with a nominal 60)
         self.adapt_display_rate = adapt_display_rate
+        # decoder-level framedrop (check_framedrop analog,
+        # player/video.c:315-332): sustained late presents shed whole
+        # source frames; the cadence re-anchors over the pts gap
+        self.drop_late_sources = True
+        self.sources_dropped = 0
+        self._late_streak = 0
         self.frames_in = 0
         self.frames_out = 0
         self._commands: "queue.Queue" = queue.Queue()
@@ -152,6 +158,15 @@ class Pipeline:
         try:
             for frame in reader:
                 self._apply_commands()
+                if (self.drop_late_sources and self._late_streak >= 8
+                        and self.present is not None
+                        and not self.present.untimed):
+                    # shedding one source frame relieves ~numIntFrames of
+                    # device + present work; the pts gap re-anchors cleanly
+                    self.sources_dropped += 1
+                    self._late_streak = 0
+                    self.frames_in += 1
+                    continue
                 if self.engine_failed:
                     outs = [OutputFrame(frame.pts, frame.fmt, frame.y,
                                         frame.uv, host=True)]
@@ -171,6 +186,10 @@ class Pipeline:
                 for out in outs:
                     if self.present is not None:
                         info = self.present.present(out.pts)
+                        if info.late_by > 0:
+                            self._late_streak += 1
+                        else:
+                            self._late_streak = 0
                         if info.dropped:
                             continue
                     self.sink.write(out)

@@ -376,3 +376,37 @@ class TestDisplaySyncAdaptation:
         pc.vsync_jitter = lambda: 1.0             # jittery: don't trust
         pipe._maybe_adapt_display_rate()
         assert 1.0 / e.cadence.target_frame_time == pytest.approx(60.0)
+
+
+class TestFramedrop:
+    def test_sustained_lateness_sheds_source_frames(self, small_cfg):
+        """check_framedrop analog: 8 consecutive late presents drop the
+        next source frame; cadence re-anchors across the gap."""
+        from mpv_frame_interpolator_tpu.pipeline.present import PresentInfo
+        e = eng()
+
+        class LateClock:
+            untimed = False
+            display_fps = 60.0
+            vsync_interval = 1 / 60
+            presented = 0
+            drops = 0
+
+            def present(self, pts):
+                self.presented += 1
+                return PresentInfo(self.presented, 1, 0.0, 0.01, False)
+
+            def estimated_display_fps(self):
+                return 60.0
+
+            def vsync_jitter(self):
+                return 0.0
+
+            def reset(self):
+                pass
+
+        src = synthetic.moving_box(small_cfg, 10)
+        pipe = Pipeline(src, e, sinks.NullSink(), present=LateClock())
+        pipe.run()
+        assert pipe.sources_dropped >= 1
+        assert pipe.frames_in == 10
