@@ -60,13 +60,18 @@ class _Prefetcher:
             self._q.put(_EOF)
 
     def __iter__(self):
+        import time as _time
         while True:
+            t0 = _time.perf_counter()
             item = self._q.get()
+            self.last_wait = _time.perf_counter() - t0
             if item is _EOF:
                 return
             if isinstance(item, Exception):
                 raise item
             yield item
+
+    last_wait: float = 0.0
 
     def stop(self):
         self._stop.set()
@@ -105,6 +110,10 @@ class Pipeline:
         self.drop_late_sources = True
         self.sources_dropped = 0
         self._late_streak = 0
+        # source-underrun detection (VO-starvation analog,
+        # player/video.c:1078-1088 + demux underrun states): counts frames
+        # where the decoder could not keep the prefetch queue fed
+        self.underruns = 0
         self.frames_in = 0
         self.frames_out = 0
         self._commands: "queue.Queue" = queue.Queue()
@@ -157,6 +166,14 @@ class Pipeline:
                              else None)
         try:
             for frame in reader:
+                if (self.present is not None and not self.present.untimed
+                        and reader.last_wait
+                        > self.engine.cadence.source_frame_time):
+                    self.underruns += 1
+                    if self.underruns % 32 == 1:
+                        log.warning("source underrun: decoder is %.1f ms "
+                                    "behind the source cadence",
+                                    reader.last_wait * 1e3)
                 self._apply_commands()
                 if (self.drop_late_sources and self._late_streak >= 8
                         and self.present is not None

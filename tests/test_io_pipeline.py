@@ -410,3 +410,20 @@ class TestFramedrop:
         pipe.run()
         assert pipe.sources_dropped >= 1
         assert pipe.frames_in == 10
+
+
+class TestUnderrun:
+    def test_slow_source_counts_underruns(self, small_cfg):
+        import time as _t
+        from mpv_frame_interpolator_tpu.pipeline.present import PresentClock
+
+        def slow_source():
+            for f in synthetic.moving_box(small_cfg, 4):
+                _t.sleep(0.06)   # slower than the 24fps source cadence
+                yield f
+
+        e = eng()
+        pipe = Pipeline(slow_source(), e, sinks.NullSink(),
+                        PresentClock(60.0, untimed=False), prefetch=1)
+        pipe.run()
+        assert pipe.underruns >= 1
