@@ -312,3 +312,16 @@ class TestModeSwitchMidStream:
         vf4 = o4[0].to_video_frame()
         assert not np.all(vf4.uv == 128)
         assert len(outs) + len(o4) == 1 + 3 + 2 + 3
+
+
+class TestStageIdempotent:
+    def test_stage_twice(self, small_cfg):
+        import jax
+        eng = make_engine()
+        f = next(iter(synthetic.moving_box(small_cfg, 1)))
+        s1 = eng.stage(f)
+        s2 = eng.stage(s1)          # already-staged frames pass through
+        assert s2 is s1
+        assert isinstance(s1.y, jax.Array)
+        outs = eng.push(s1)         # staged frames feed push directly
+        assert len(outs) == 1

@@ -66,3 +66,15 @@ class TestFilters:
             outs.extend(e.push(f))
         assert len(outs) == 6
         assert outs[-1].fmt.width == 32
+
+
+class TestFiltersP010:
+    def test_filters_on_p010(self):
+        """Filter chain is dtype-agnostic (rotate/flip/crop on uint16)."""
+        cfg = synthetic.SyntheticConfig(width=64, height=48, fps=24.0,
+                                        pixfmt="p010")
+        f = frames(1)[0]  # nv12 baseline for shape reference
+        f16 = next(iter(synthetic.moving_box(cfg, 1)))
+        out = rotate(90)(vflip()(crop(32, 16, 8, 4)(f16)))
+        assert out.y.dtype.itemsize == 2
+        assert (out.fmt.width, out.fmt.height) == (16, 32)
