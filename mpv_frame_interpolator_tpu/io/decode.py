@@ -24,7 +24,7 @@ def have_ffmpeg() -> bool:
     return shutil.which("ffmpeg") is not None
 
 
-def ffmpeg_source(path: str, pixfmt: str = NV12, speed_pix_threads: int = 0,
+def ffmpeg_source(path: str, pixfmt: str = NV12, threads: int = 0,
                   start_pts: float = 0.0) -> Iterator[VideoFrame]:
     """Decode any media file to VideoFrames through ffmpeg -> y4m pipe."""
     if not have_ffmpeg():
@@ -34,8 +34,8 @@ def ffmpeg_source(path: str, pixfmt: str = NV12, speed_pix_threads: int = 0,
     outfmt = "yuv420p" if pixfmt == NV12 else "yuv420p10le"
     cmd = ["ffmpeg", "-nostdin", "-loglevel", "error", "-i", path,
            "-map", "0:v:0", "-pix_fmt", outfmt, "-f", "yuv4mpegpipe", "-"]
-    if speed_pix_threads:
-        cmd[1:1] = ["-threads", str(speed_pix_threads)]
+    if threads:
+        cmd[1:1] = ["-threads", str(threads)]
     log.info("spawning decoder: %s", " ".join(cmd))
     proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
                             bufsize=1024 * 1024)
