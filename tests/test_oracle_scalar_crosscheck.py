@@ -147,3 +147,53 @@ class TestOracleScalarCrosscheck:
         sca_y = scalar_warp_luma(f1y, f2y, off.astype(np.int64), 0.4, 0, 16,
                                  0.0, 255.0)
         np.testing.assert_array_equal(sca_y, vec_y)
+
+
+def scalar_warp_chroma(f1uv, f2uv, off, t, rs, wa, dim_y, white):
+    """warpFrameKernel.cl cz=1 pass as literal loops (NV12 interleaved
+    addressing: (newCx & ~1) + (cx & 1), half-rate vertical flow)."""
+    _, lh, lw = off.shape
+    hc = dim_y >> 1
+    w1, w2 = oracle.blend_weights(t)
+    fs12 = np.float32(t)
+    fs21 = np.float32(1.0 - t)
+    out = np.zeros((hc, wa), np.uint8)
+    wl = max(int(round(white)), 1)
+    for cy in range(hc):
+        for cx in range(wa):
+            scx = min(max((cx >> rs) & ~1, 0), lw - 1)
+            scy = min(max((cy >> rs) << 1, 0), lh - 1)
+            ox12 = int(off[0, scy, scx])
+            oy12 = int(off[1, scy, scx])
+            bscy = min(max(scy - (oy12 >> rs), 0), lh - 1)
+            bscx = min(max(scx - (ox12 >> rs), 0), lw - 1)
+            ox21 = int(off[0, bscy, bscx])
+            oy21 = int(off[1, bscy, bscx])
+
+            def rnd(v):
+                return int(math.copysign(math.floor(abs(v) + 0.5), v))
+
+            nx12 = mirror_edge2_s(cx + rnd(np.float32(ox12) * fs12), wa)
+            ny12 = mirror_edge2_s(cy + rnd(np.float32(oy12) * fs12 * np.float32(0.5)), hc)
+            nx21 = mirror_edge2_s(cx - rnd(np.float32(ox21) * fs21), wa)
+            ny21 = mirror_edge2_s(cy - rnd(np.float32(oy21) * fs21 * np.float32(0.5)), hc)
+            par = cx & 1
+            s12 = int(f1uv[ny12, (nx12 & ~1) + par])
+            s21 = int(f2uv[ny21, (nx21 & ~1) + par])
+            blended = (s12 * w1 + s21 * w2) >> 24
+            n = max((blended - 128) * 255 + 128 * wl, 0)
+            out[cy, cx] = min(n // wl, 255)
+    return out
+
+
+class TestOracleScalarChroma:
+    @pytest.mark.parametrize("t", [0.25, 0.6])
+    def test_warp_chroma(self, tiny, t):
+        f1y, f1uv, f2y, f2uv = tiny
+        rng = np.random.default_rng(8)
+        off = rng.integers(-5, 5, (2, 12, 16)).astype(np.int16)
+        _, vec_uv = oracle.warp_frame(f1y, f1uv, f2y, f2uv, off, t,
+                                      oracle.BLENDED_FRAME, 0, 16)
+        sca_uv = scalar_warp_chroma(f1uv, f2uv, off.astype(np.int64), t, 0,
+                                    16, 12, 255.0)
+        np.testing.assert_array_equal(sca_uv, vec_uv)
