@@ -129,11 +129,14 @@ class Y4MWriter:
                  pixfmt: str = NV12):
         self._fh = fh
         self.pixfmt = pixfmt
-        num = int(round(fps * 1001))
-        if abs(num / 1001 - fps) < 1e-6 and num % 1000:
-            ratio = f"{num}:1001"
-        else:
+        if abs(fps - round(fps)) < 1e-9:
             ratio = f"{int(round(fps))}:1"
+        else:
+            num = int(round(fps * 1001))
+            if abs(num / 1001 - fps) < 1e-6:
+                ratio = f"{num}:1001"      # NTSC rates (23.976, 29.97, ...)
+            else:
+                ratio = f"{int(round(fps * 1000))}:1000"
         cs = "C420mpeg2" if pixfmt == NV12 else "C420p10"
         fh.write(f"YUV4MPEG2 W{width} H{height} F{ratio} Ip A1:1 {cs}\n"
                  .encode("ascii"))

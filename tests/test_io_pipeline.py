@@ -427,3 +427,14 @@ class TestUnderrun:
                         PresentClock(60.0, untimed=False), prefetch=1)
         pipe.run()
         assert pipe.underruns >= 1
+
+
+class TestY4MRatio:
+    @pytest.mark.parametrize("fps,expect", [
+        (24.0, b"F24:1"), (60.0, b"F60:1"),
+        (23.976023976023978, b"F24000:1001"), (29.97002997002997, b"F30000:1001"),
+    ])
+    def test_fps_ratio_encoding(self, fps, expect):
+        buf = io.BytesIO()
+        Y4MWriter(buf, 64, 48, fps)
+        assert expect in buf.getvalue()
