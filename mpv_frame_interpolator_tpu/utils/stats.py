@@ -62,6 +62,10 @@ class StatsRegistry:
     def time(self, name: str):
         return _Timer(self, name)
 
+    def reset(self):
+        """Drop all series (geometry/source changes in long sessions)."""
+        self._series.clear()
+
     def summary(self) -> Dict[str, dict]:
         return {
             k: {"last": s.last, "mean": s.mean(),

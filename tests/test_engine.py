@@ -325,3 +325,15 @@ class TestStageIdempotent:
         assert isinstance(s1.y, jax.Array)
         outs = eng.push(s1)         # staged frames feed push directly
         assert len(outs) == 1
+
+
+class TestStatsReset:
+    def test_stats_reset(self):
+        from mpv_frame_interpolator_tpu.utils import StatsRegistry
+        s = StatsRegistry()
+        s.add("a", 1.0)
+        with s.time("b"):
+            pass
+        assert s.summary()
+        s.reset()
+        assert s.summary() == {}
