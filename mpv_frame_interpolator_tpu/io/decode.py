@@ -13,7 +13,7 @@ import shutil
 import subprocess
 from typing import Iterator
 
-from mpv_frame_interpolator_tpu.frame import NV12
+from mpv_frame_interpolator_tpu.frame import NV12, VideoFrame
 from mpv_frame_interpolator_tpu.io.y4m import Y4MReader
 from mpv_frame_interpolator_tpu.utils import get_logger
 

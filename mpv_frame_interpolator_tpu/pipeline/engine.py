@@ -36,6 +36,7 @@ from mpv_frame_interpolator_tpu.ops import warp as warp_ops
 from mpv_frame_interpolator_tpu.pipeline.cadence import (
     CadenceEngine, InterpolationState)
 from mpv_frame_interpolator_tpu.pipeline.quality import QualityController
+from mpv_frame_interpolator_tpu.pipeline import scene as scene_mod
 from mpv_frame_interpolator_tpu.pipeline.scene import SceneChangeDetector
 from mpv_frame_interpolator_tpu.utils import get_logger, StatsRegistry
 
@@ -155,12 +156,8 @@ def _make_source_step(geom: FlowGeometry, mode: int,
              white, scene_threshold):
         # scene-change score at flow resolution (pipeline/scene.py)
         if scene_enabled:
-            s = 1 << geom.res_scalar
-            d = jnp.abs(f1y[::s, ::s].astype(jnp.int32)
-                        - f2y[::s, ::s].astype(jnp.int32))
-            if scale_shift:
-                d = d >> scale_shift
-            cut_score = jnp.mean(d.astype(jnp.float32))
+            cut_score = scene_mod.cut_score(f1y, f2y, geom.res_scalar,
+                                            scale_shift)
             cut = cut_score > scene_threshold
         else:
             cut_score = jnp.float32(0.0)

@@ -16,21 +16,30 @@ import dataclasses
 import jax.numpy as jnp
 
 
+def cut_score(y1_full, y2_full, res_scalar: int, bit_shift: int = 0):
+    """Device-side mean abs luma difference at the flow calc resolution.
+
+    Traced inside the engine's fused source step (one dispatch per pair);
+    returns a 0-dim jnp array so the caller controls when to sync.  The
+    downsample is a stride-slice to the flow pyramid's base resolution
+    (2**res_scalar), matching where the reference would have measured had
+    it shipped its advertised detection (README.md:22)."""
+    s = 1 << res_scalar
+    d = jnp.abs(y1_full[::s, ::s].astype(jnp.int32)
+                - y2_full[::s, ::s].astype(jnp.int32))
+    if bit_shift:
+        d = d >> bit_shift
+    return jnp.mean(d.astype(jnp.float32))
+
+
 @dataclasses.dataclass
 class SceneChangeDetector:
+    """Runtime knobs + host-side decision for scene-cut handling; the score
+    itself is computed on device by `cut_score` inside the fused step."""
+
     enabled: bool = True
     threshold: float = 28.0     # mean |Y1-Y2| per low-res pixel, 8-bit scale
     last_score: float = 0.0
-
-    def score(self, y1_low, y2_low, bit_shift: int = 0):
-        """Device-side mean abs luma difference (returns a 0-dim jnp array
-        so the caller controls when to sync)."""
-        a = y1_low.astype(jnp.int32)
-        b = y2_low.astype(jnp.int32)
-        d = jnp.abs(a - b)
-        if bit_shift:
-            d = d >> bit_shift
-        return jnp.mean(d.astype(jnp.float32))
 
     def is_cut(self, score_value: float) -> bool:
         self.last_score = float(score_value)
