@@ -57,6 +57,7 @@ class Player:
                  engine: Optional[InterpolationEngine] = None):
         self.engine = engine if engine is not None \
             else InterpolationEngine(config)
+        self.pipeline = None     # optional Pipeline binding (for seek etc.)
         self._observers: Dict[str, List[Callable[[str, Any], None]]] = {}
         self._events: "collections.deque[Event]" = collections.deque(maxlen=1024)
         self._event_cv = threading.Condition()
@@ -183,11 +184,22 @@ class Player:
 
     # ---- commands (mpv_command analog) ----------------------------------
 
+    def bind_pipeline(self, pipeline):
+        """Attach the running Pipeline so source-level commands (seek)
+        reach the demuxer, the way mpv commands reach the playloop."""
+        self.pipeline = pipeline
+
     def command(self, name: str, *args) -> Any:
         if name == "set-property" or name == "set_property":
             return self.set_property(args[0], args[1])
         if name == "get-property" or name == "get_property":
             return self.get_property(args[0])
+        if name == "seek":
+            if self.pipeline is None:
+                raise PropertyError("no pipeline bound; seek unavailable")
+            self.pipeline.seek(float(args[0]))
+            self._push_event(Event(EventType.SEEK_RESET, data=float(args[0])))
+            return None
         if name == "seek-reset":
             self.engine.reset()
             self._push_event(Event(EventType.SEEK_RESET))

@@ -99,6 +99,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save-position-on-quit", action="store_true",
                    help="persist playback position + knobs per input file "
                         "(watch-later analog)")
+    p.add_argument("--save-position-interval", type=float, default=60.0,
+                   help="with --save-position-on-quit: also save the "
+                        "position periodically every N seconds, so a crash "
+                        "loses at most that much progress (configfiles.c "
+                        "periodic save analog); 0 disables")
     p.add_argument("--no-resume", action="store_true",
                    help="ignore an existing watch-later entry")
     p.add_argument("--profile-dir", default="",
@@ -126,15 +131,15 @@ def make_source(args):
         return gen(cfg, n), cfg.width, cfg.height
     if args.source == "-":
         rdr = y4m.Y4MReader(sys.stdin.buffer)
-        return iter(rdr), rdr.width, rdr.height
+        return rdr, rdr.width, rdr.height
     if args.source.endswith(".yuv"):
         fh = open(args.source, "rb")
         rdr = y4m.RawYUVReader(fh, args.width, args.height, args.fps,
                                P010 if args.p010 else NV12)
-        return iter(rdr), args.width, args.height
+        return rdr, args.width, args.height
     if args.source.endswith(".y4m"):
         rdr = y4m.Y4MReader(open(args.source, "rb"))
-        return iter(rdr), rdr.width, rdr.height
+        return rdr, rdr.width, rdr.height
     from mpv_frame_interpolator_tpu.io.decode import ffmpeg_source
     src = ffmpeg_source(args.source, P010 if args.p010 else NV12)
     return src, args.width, args.height
@@ -197,11 +202,19 @@ def main(argv=None) -> int:
                      pos, {k: v for k, v in state.items() if k != "start"})
 
     if start_pts:
-        def _skip_until(src, t0=start_pts):
-            for f in src:
-                if f.pts >= t0 - 1e-9:
-                    yield f
-        source = _skip_until(source)
+        if (hasattr(source, "seek_pts")
+                and getattr(source, "seekable", lambda: False)()):
+            # O(1) byte seek (demux_seek analog) -- watch-later resume of a
+            # long file must not replay it from frame 0
+            actual = source.seek_pts(start_pts)
+            log.info("seeked source to %.3fs (requested %.3fs)",
+                     actual, start_pts)
+        else:
+            def _skip_until(src, t0=start_pts):
+                for f in src:
+                    if f.pts >= t0 - 1e-9:
+                        yield f
+            source = _skip_until(source)
 
     if args.output == "-":
         from mpv_frame_interpolator_tpu.io.y4m import Y4MWriter
@@ -243,6 +256,7 @@ def main(argv=None) -> int:
         import threading
         from mpv_frame_interpolator_tpu.api import Player as _Player
         script_player = _Player(engine=engine)
+        script_player.bind_pipeline(pipe)
         code = open(args.script).read()
 
         def run_script():
@@ -259,8 +273,35 @@ def main(argv=None) -> int:
     if args.ipc_server:
         from mpv_frame_interpolator_tpu.api import Player
         from mpv_frame_interpolator_tpu.control.ipc import IPCServer
-        ipc = IPCServer(args.ipc_server, Player(engine=engine))
+        ipc_player = Player(engine=engine)
+        ipc_player.bind_pipeline(pipe)
+        ipc = IPCServer(args.ipc_server, ipc_player)
         ipc.start()
+
+    def _watch_later_props():
+        return {
+            "speed": engine.cadence.playback_speed,
+            "frame-output-mode": engine.frame_output_mode,
+            "search-radius": engine.quality.search_radius,
+            "black-level": engine.black_level,
+            "white-level": engine.white_level,
+            "scene-threshold": engine.scene.threshold,
+        }
+
+    save_timer_stop = None
+    if (is_file and args.save_position_on_quit
+            and args.save_position_interval > 0):
+        import threading
+        from mpv_frame_interpolator_tpu.pipeline import resume as _resume
+
+        save_timer_stop = threading.Event()
+
+        def _periodic_save():
+            while not save_timer_stop.wait(args.save_position_interval):
+                _resume.save(args.source, engine.cadence.current_output_pts,
+                             _watch_later_props())
+
+        threading.Thread(target=_periodic_save, daemon=True).start()
 
     profile_ctx = None
     if args.profile_dir:
@@ -278,18 +319,12 @@ def main(argv=None) -> int:
             applet.stop()
         if ipc:
             ipc.stop()
+        if save_timer_stop is not None:
+            save_timer_stop.set()
         if is_file and args.save_position_on_quit:
             from mpv_frame_interpolator_tpu.pipeline import resume as _resume
-            props = {
-                "speed": engine.cadence.playback_speed,
-                "frame-output-mode": engine.frame_output_mode,
-                "search-radius": engine.quality.search_radius,
-                "black-level": engine.black_level,
-                "white-level": engine.white_level,
-                "scene-threshold": engine.scene.threshold,
-            }
             last_pts = engine.cadence.current_output_pts
-            path = _resume.save(args.source, last_pts, props)
+            path = _resume.save(args.source, last_pts, _watch_later_props())
             log.info("watch-later state saved to %s", path)
     if args.dump_stats:
         import json

@@ -70,7 +70,80 @@ class Y4MReader:
         self._crop_h = self.height & ~1
         self.fmt = FrameFormat(self._crop_w, self._crop_h, self.pixfmt)
         self._pts = start_pts
+        self._start_pts = start_pts
         self._dt = 1.0 / self.fps if self.fps > 0 else 1.0 / 24.0
+        # seek support (demux_seek analog): y4m frames are fixed-size
+        # records after the stream header, so frame n lives at a computable
+        # byte offset (the reference's demuxers keep a seek index,
+        # demux/demux_mkv.c; y4m needs none)
+        itemsize = self.fmt.dtype().itemsize
+        self._payload = (self.width * self.height
+                         + 2 * (self.width // 2) * (self.height // 2)) * itemsize
+        self._marker_len: int | None = None
+        try:
+            self._data_start = fh.tell()
+            self._seekable = bool(fh.seekable())
+        except (OSError, AttributeError):
+            self._data_start = 0
+            self._seekable = False
+
+    # -- seeking ----------------------------------------------------------
+
+    def seekable(self) -> bool:
+        return self._seekable
+
+    def _ensure_marker_len(self):
+        """Learn the FRAME marker line length from the first frame (markers
+        may carry parameters; virtually all streams use a constant line)."""
+        if self._marker_len is not None:
+            return
+        pos = self._fh.tell()
+        self._fh.seek(self._data_start)
+        line = self._fh.readline()
+        if not line.startswith(b"FRAME"):
+            raise Y4MError(f"bad frame marker at stream start: {line[:20]!r}")
+        self._marker_len = len(line)
+        self._fh.seek(pos)
+
+    def n_frames(self) -> int:
+        """Total frame count (only for seekable streams)."""
+        if not self._seekable:
+            raise Y4MError("stream is not seekable")
+        self._ensure_marker_len()
+        pos = self._fh.tell()
+        end = self._fh.seek(0, 2)
+        self._fh.seek(pos)
+        rec = self._marker_len + self._payload
+        return max((end - self._data_start) // rec, 0)
+
+    def seek_frame(self, n: int):
+        """O(1) byte seek to frame n (falls back to a linear marker scan if
+        the stream uses variable-length FRAME lines)."""
+        if not self._seekable:
+            raise Y4MError("stream is not seekable")
+        self._ensure_marker_len()
+        n = max(int(n), 0)
+        rec = self._marker_len + self._payload
+        target = self._data_start + n * rec
+        self._fh.seek(target)
+        line = self._fh.readline()
+        if line and not line.startswith(b"FRAME"):
+            # variable-length markers: scan forward from the data start
+            self._fh.seek(self._data_start)
+            for _ in range(n):
+                marker = self._fh.readline()
+                if not marker.startswith(b"FRAME"):
+                    break          # seeked past EOF; iteration just ends
+                self._fh.seek(self._payload, 1)
+        else:
+            self._fh.seek(target)
+        self._pts = self._start_pts + n * self._dt
+
+    def seek_pts(self, pts: float) -> float:
+        """Seek to the frame covering `pts`; returns the actual frame pts."""
+        n = int(max(pts - self._start_pts, 0.0) / self._dt + 1e-6)
+        self.seek_frame(n)
+        return self._pts
 
     def __iter__(self) -> Iterator[VideoFrame]:
         w, h = self.width, self.height
@@ -168,6 +241,40 @@ class RawYUVReader:
         self._fh = fh
         self.fps = fps
         self._pts = start_pts
+        self._start_pts = start_pts
+        itemsize = self.fmt.dtype().itemsize
+        self._payload = (width * height
+                         + 2 * (width // 2) * (height // 2)) * itemsize
+        try:
+            self._data_start = fh.tell()
+            self._seekable = bool(fh.seekable())
+        except (OSError, AttributeError):
+            self._data_start = 0
+            self._seekable = False
+
+    def seekable(self) -> bool:
+        return self._seekable
+
+    def n_frames(self) -> int:
+        if not self._seekable:
+            raise ValueError("stream is not seekable")
+        pos = self._fh.tell()
+        end = self._fh.seek(0, 2)
+        self._fh.seek(pos)
+        return max((end - self._data_start) // self._payload, 0)
+
+    def seek_frame(self, n: int):
+        """O(1) byte seek (raw streams are pure fixed-size records)."""
+        if not self._seekable:
+            raise ValueError("stream is not seekable")
+        n = max(int(n), 0)
+        self._fh.seek(self._data_start + n * self._payload)
+        self._pts = self._start_pts + n / self.fps
+
+    def seek_pts(self, pts: float) -> float:
+        n = int(max(pts - self._start_pts, 0.0) * self.fps + 1e-6)
+        self.seek_frame(n)
+        return self._pts
 
     def __iter__(self) -> Iterator[VideoFrame]:
         w, h = self.fmt.width, self.fmt.height

@@ -74,12 +74,16 @@ class _Prefetcher:
     last_wait: float = 0.0
 
     def stop(self):
+        """Stop and JOIN the reader thread (it must not touch the source
+        file handle after this returns -- a queued seek repositions it)."""
         self._stop.set()
-        try:
-            while True:
-                self._q.get_nowait()
-        except queue.Empty:
-            pass
+        while self._thread.is_alive():
+            try:
+                while True:
+                    self._q.get_nowait()
+            except queue.Empty:
+                pass
+            self._thread.join(timeout=0.05)
 
 
 class Pipeline:
@@ -116,6 +120,8 @@ class Pipeline:
         self.underruns = 0
         self.frames_in = 0
         self.frames_out = 0
+        self.seeks = 0
+        self._pending_seek: Optional[float] = None
         self._commands: "queue.Queue" = queue.Queue()
 
     # -- runtime command surface (mp_filter_command analog) --------------
@@ -125,6 +131,17 @@ class Pipeline:
 
     def seek_reset(self):
         self._commands.put(("reset", None))
+
+    def seek(self, pts: float):
+        """Queue a source-side seek (execute_queued_seek analog,
+        player/playloop.c:1294): flush the prefetcher, reposition the
+        source, reset the engine + present clock.  Requires a seekable
+        source (io/y4m.py readers); otherwise degrades to seek_reset."""
+        self._commands.put(("seek", float(pts)))
+
+    def source_seekable(self) -> bool:
+        s = self.source
+        return hasattr(s, "seek_pts") and getattr(s, "seekable", lambda: False)()
 
     def _apply_commands(self):
         try:
@@ -136,6 +153,15 @@ class Pipeline:
                     self.engine.reset()
                     if self.present:
                         self.present.reset()
+                elif cmd == "seek":
+                    if self.source_seekable():
+                        self._pending_seek = arg
+                    else:
+                        log.warning("seek requested on an unseekable "
+                                    "source; resetting filter state only")
+                        self.engine.reset()
+                        if self.present:
+                            self.present.reset()
         except queue.Empty:
             pass
 
@@ -160,7 +186,31 @@ class Pipeline:
                      "%.4f Hz (nominal %.4f)", est, nominal)
             self.engine.cadence.target_frame_time = new_tft
 
+    def _execute_seek(self, pts: float):
+        """Reposition the source + reset downstream state (the reference's
+        seek path: demux_seek + reset_video_state + the filter's own seek
+        reset, player/video.c:98 + vf_HopperRender.c:562-567)."""
+        actual = self.source.seek_pts(pts)
+        self.engine.reset()
+        if self.present:
+            self.present.reset()
+        self.seeks += 1
+        log.info("seeked to %.3fs (requested %.3fs)", actual, pts)
+
     def run(self, max_source_frames: Optional[int] = None):
+        try:
+            while True:
+                restart = self._run_segment(max_source_frames)
+                if not restart:
+                    break
+        finally:
+            self.sink.close()
+        return self.frames_out
+
+    def _run_segment(self, max_source_frames: Optional[int]) -> bool:
+        """Play until EOF, frame budget, or a queued seek.  Returns True if
+        a seek was executed and playback should restart from the new
+        position."""
         reader = _Prefetcher(self.source, self.prefetch,
                              stage=self.engine.stage if self.stage_uploads
                              else None)
@@ -175,6 +225,12 @@ class Pipeline:
                                     "behind the source cadence",
                                     reader.last_wait * 1e3)
                 self._apply_commands()
+                if self._pending_seek is not None:
+                    pts = self._pending_seek
+                    self._pending_seek = None
+                    reader.stop()
+                    self._execute_seek(pts)
+                    return True
                 if (self.drop_late_sources and self._late_streak >= 8
                         and self.present is not None
                         and not self.present.untimed):
@@ -217,5 +273,4 @@ class Pipeline:
                     break
         finally:
             reader.stop()
-            self.sink.close()
-        return self.frames_out
+        return False
