@@ -98,9 +98,11 @@ class Player:
             "num-int-frames": (lambda: e.cadence.num_int_frames, None),
             "stats": (lambda: e.stats.summary(), None),
             # telemetry mirrors of the applet status fields
-            # (vf_HopperRender.c:194-202)
-            "ofc-time": (lambda: e.stats.last("flow_time"), None),
-            "warp-time": (lambda: e.stats.last("warp_time"), None),
+            # (vf_HopperRender.c:194-202).  Reading them enables the
+            # engine's split flow/warp measurement (engine.split_timing);
+            # the first read may return 0.0 until a pair has been measured.
+            "ofc-time": (self._split_stat("flow_time"), None),
+            "warp-time": (self._split_stat("warp_time"), None),
             "total-time": (lambda: e.stats.last("source_frame_time"), None),
             "calc-res": (self._calc_res, None),
             "scene-cut-score": (e.last_cut_score, None),
@@ -139,6 +141,12 @@ class Player:
                 cb(name, value)
             except Exception:  # observer bugs must not kill playback
                 log.exception("property observer for %r failed", name)
+
+    def _split_stat(self, name: str):
+        def get():
+            self.engine.request_split_timing()
+            return self.engine.stats.last(name)
+        return get
 
     def _set_mode(self, v):
         self.engine.frame_output_mode = int(v)

@@ -87,6 +87,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ipc-server", default="",
                    help="serve JSON IPC on this unix socket path "
                         "(mpv --input-ipc-server analog)")
+    p.add_argument("--ingest", default="auto",
+                   choices=("auto", "native", "python"),
+                   help="y4m file ingest path: the C++ demuxer ring with "
+                        "recycled buffers (native), the Python reader "
+                        "(python), or native-when-built (auto)")
     p.add_argument("--vf", default="",
                    help="host filter chain before interpolation, e.g. "
                         "'crop=640:360,vflip,fps=24' (user_filters analog)")
@@ -115,6 +120,8 @@ def build_parser() -> argparse.ArgumentParser:
     from mpv_frame_interpolator_tpu import __version__
     p.add_argument("--version", action="version",
                    version=f"mpv_frame_interpolator_tpu {__version__}")
+    from mpv_frame_interpolator_tpu.options import add_config_flags
+    add_config_flags(p)
     return p
 
 
@@ -138,7 +145,13 @@ def make_source(args):
                                P010 if args.p010 else NV12)
         return rdr, args.width, args.height
     if args.source.endswith(".y4m"):
-        rdr = y4m.Y4MReader(open(args.source, "rb"))
+        from mpv_frame_interpolator_tpu.io import ingest
+        if args.ingest == "python":
+            rdr = y4m.Y4MReader(open(args.source, "rb"))
+        elif args.ingest == "native":
+            rdr = ingest.NativeY4MSource(args.source)
+        else:
+            rdr = ingest.open_y4m(args.source)
         return rdr, rdr.width, rdr.height
     from mpv_frame_interpolator_tpu.io.decode import ffmpeg_source
     src = ffmpeg_source(args.source, P010 if args.p010 else NV12)
@@ -146,7 +159,8 @@ def make_source(args):
 
 
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+    from mpv_frame_interpolator_tpu.options import parse_with_config
+    args = parse_with_config(build_parser(), argv)
     if args.verbose:
         set_verbosity(10)
 

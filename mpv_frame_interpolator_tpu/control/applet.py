@@ -36,6 +36,21 @@ from mpv_frame_interpolator_tpu.utils import get_logger
 log = get_logger("applet")
 
 
+def parse_code_line(line: str):
+    """One line of the command FIFO -> int code, or None if not a code.
+    Tolerates arbitrary hostile text (the FIFO is world-writable)."""
+    line = line.strip()
+    if not line or len(line) > 32:
+        return None
+    body = line[1:] if line[0] == "-" else line
+    if not body.isdigit() or not body.isascii():
+        return None
+    try:
+        return int(line)
+    except ValueError:  # pragma: no cover - isdigit already filtered
+        return None
+
+
 def apply_command_code(engine, code: int) -> bool:
     """Apply one integer command code; returns False if unknown."""
     cadence = engine.cadence
@@ -70,6 +85,8 @@ def telemetry_text(engine) -> str:
     cad = engine.cadence
     geom = engine.geom
     stats = engine.stats
+    # a status consumer exists: enable the real flow/warp split measurement
+    engine.request_split_timing()
     sft = cad.source_frame_time
     tft = cad.target_frame_time
     ofc = stats.last("flow_time")
@@ -157,12 +174,10 @@ class AppletServer:
     def _serve_commands(self):
         while not self._stop.is_set():
             try:
-                with open(self.cmd_path, "r") as fh:
+                with open(self.cmd_path, "r", errors="replace") as fh:
                     for line in fh:
-                        line = line.strip()
-                        if line and (line.isdigit() or
-                                     (line[0] == '-' and line[1:].isdigit())):
-                            code = int(line)
+                        code = parse_code_line(line)
+                        if code is not None:
                             if apply_command_code(self.engine, code):
                                 log.debug("applet command %d applied", code)
             except OSError:

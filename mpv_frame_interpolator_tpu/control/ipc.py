@@ -87,24 +87,32 @@ class IPCServer:
 
         try:
             while not self._stop.is_set():
-                line = file.readline()
+                line = file.readline(1 << 20)
                 if not line:
                     return
-                req = None
-                try:
-                    req = json.loads(line)
-                    self._handle(req, send)
-                except (ValueError, KeyError, TypeError, IndexError) as e:
-                    reply = {"error": f"{type(e).__name__}: {e}"}
-                    if isinstance(req, dict) and "request_id" in req:
-                        reply["request_id"] = req["request_id"]
-                    send(reply)
+                self.handle_line(line, send)
         except (OSError, BrokenPipeError):
             pass
         finally:
             with self._lock:
                 if conn in self._clients:
                     self._clients.remove(conn)
+
+    def handle_line(self, line: bytes, send) -> None:
+        """Process one request line (the fuzzable protocol entry point):
+        any malformed input produces an error reply, never an exception."""
+        req = None
+        try:
+            req = json.loads(line)
+            self._handle(req, send)
+        except (ValueError, KeyError, TypeError, IndexError,
+                AttributeError, OverflowError, RecursionError) as e:
+            reply = {"error": f"{type(e).__name__}: {e}"}
+            if isinstance(req, dict) and "request_id" in req:
+                rid = req["request_id"]
+                if isinstance(rid, (str, int, float, bool)) or rid is None:
+                    reply["request_id"] = rid
+            send(reply)
 
     def _handle(self, req: dict, send) -> None:
         cmd = req["command"]

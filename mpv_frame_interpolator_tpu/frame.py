@@ -14,7 +14,7 @@ pytree (see pipeline/engine.py), not here.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+from typing import Callable, Optional
 
 import numpy as np
 
@@ -87,6 +87,12 @@ class VideoFrame:
     fmt: FrameFormat
     pts: float = 0.0           # presentation timestamp, seconds
     nominal_fps: float = 0.0   # container/decoder frame rate (0 = unknown)
+    # buffer-recycling hook (mp_image_pool unref analog): when set, the
+    # consumer that copies the planes off-host (engine.stage) calls it once
+    # the copy is complete so the source can reuse the buffers.  The planes
+    # MUST NOT be touched after calling it.
+    recycle: Optional[Callable[[], None]] = dataclasses.field(
+        default=None, repr=False, compare=False)
 
     def __post_init__(self):
         assert self.y.shape == self.fmt.luma_shape(), (self.y.shape, self.fmt)

@@ -1,0 +1,182 @@
+"""Native streaming ingest: C++ demuxer thread + recycled frame buffers.
+
+The reference's ingest is a demux thread filling a packet cache
+(demux/demux.c:2549,1187) and a frame pool recycling every image buffer
+(video/mp_image_pool.c, drawn from at vf_HopperRender.c:385).  This module
+is the rebuild's host ingest for its interchange format:
+
+* `_mfi_native.Y4MRing` runs a C++ reader thread (no GIL) that reads each
+  y4m FRAME record straight into a registered luma buffer and repacks the
+  planar U,V planes into the interleaved NV12/P010 chroma buffer -- read
+  and repack are fused, and the P010 << 6 shift rides the same pass.
+* A fixed set of frame buffers rotates between Python and the ring: pop()
+  yields a filled frame; once the engine has staged it to HBM the frame's
+  `recycle` hook re-registers the buffers.  Steady-state ingest therefore
+  allocates NOTHING per frame.
+* Backpressure is natural: the C++ thread blocks when every buffer is in
+  flight, exactly like the reference's bounded packet queue.
+
+Falls back to the pure-Python Y4MReader (io/y4m.py) when the native
+extension isn't built.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import numpy as np
+
+from mpv_frame_interpolator_tpu.frame import FrameFormat, P010, VideoFrame
+from mpv_frame_interpolator_tpu.io import y4m as y4m_mod
+from mpv_frame_interpolator_tpu.native import HAVE_NATIVE, _native
+from mpv_frame_interpolator_tpu.utils import get_logger
+
+log = get_logger("ingest")
+
+
+def have_native_ingest() -> bool:
+    return HAVE_NATIVE and hasattr(_native, "Y4MRing")
+
+
+class NativeY4MSource:
+    """Seekable y4m source backed by the C++ demuxer ring.
+
+    Iterates VideoFrames whose buffers are recycled via `frame.recycle`;
+    a frame's planes are valid until that hook is called (the pipeline's
+    staging path calls it right after the host->HBM copy completes)."""
+
+    def __init__(self, path: str, ring_depth: int = 4,
+                 start_pts: float = 0.0):
+        if not have_native_ingest():
+            raise RuntimeError("native extension not built; use Y4MReader")
+        self._fh = open(path, "rb", buffering=0)
+        header = self._read_line()
+        (self.width, self.height, self.fps,
+         self.pixfmt) = y4m_mod.parse_header(header.decode("ascii", "replace").strip())
+        if self.width % 2 or self.height % 2:
+            raise y4m_mod.Y4MError(
+                "native ingest requires even dimensions; "
+                "use the Python reader for odd-sized streams")
+        self.fmt = FrameFormat(self.width, self.height, self.pixfmt)
+        self._dtype = self.fmt.dtype
+        self._itemsize = self._dtype().itemsize
+        self._shift = 6 if self.pixfmt == P010 else 0
+        self._dt = 1.0 / self.fps if self.fps > 0 else 1.0 / 24.0
+        self._start_pts = start_pts
+        self._frame_index = 0
+        self._data_start = self._fh.tell()
+        self._payload = (self.width * self.height
+                         + 2 * (self.width // 2) * (self.height // 2)
+                         ) * self._itemsize
+        # learn the FRAME marker length for O(1) seeks (constant-marker
+        # streams; every common producer emits a fixed line)
+        marker = self._read_line()
+        self._marker_len = len(marker) if marker.startswith(b"FRAME") else 0
+        self._fh.seek(self._data_start)
+
+        self._ring_depth = ring_depth
+        self._frames = {}        # tag -> (y, uv) buffer pair, stable forever
+        self._outstanding = set()  # tags currently owned by consumers
+        self._recycled = 0
+        self._ring = None
+        self._open_ring()
+
+    def _read_line(self) -> bytes:
+        out = bytearray()
+        while True:
+            b = self._fh.read(1)
+            if not b:
+                break
+            out += b
+            if b == b"\n" or len(out) > 4096:
+                break
+        return bytes(out)
+
+    def _open_ring(self):
+        self._ring = _native.Y4MRing(self._fh.fileno(), self.width,
+                                     self.height, self._itemsize,
+                                     self._shift)
+        hc, wc = self.height // 2, self.width
+        while len(self._frames) < self._ring_depth:
+            tag = len(self._frames)
+            self._frames[tag] = (
+                np.empty((self.height, self.width), self._dtype),
+                np.empty((hc, wc), self._dtype))
+        for tag, (y, uv) in self._frames.items():
+            if tag not in self._outstanding:
+                self._ring.push_free(tag, y, uv)
+
+    def _recycle(self, tag: int):
+        if tag not in self._outstanding:
+            return
+        self._outstanding.discard(tag)
+        self._recycled += 1
+        y, uv = self._frames[tag]
+        try:
+            self._ring.push_free(tag, y, uv)
+        except RuntimeError:
+            pass                     # ring stopped mid-recycle (teardown)
+
+    def __iter__(self) -> Iterator[VideoFrame]:
+        while True:
+            tag = self._ring.pop()
+            if tag is None:
+                return
+            self._outstanding.add(tag)
+            y, uv = self._frames[tag]
+            pts = self._start_pts + self._frame_index * self._dt
+            self._frame_index += 1
+            yield VideoFrame(
+                y, uv, self.fmt, pts=pts, nominal_fps=self.fps,
+                recycle=(lambda t=tag: self._recycle(t)))
+
+    # -- seek (demux_seek analog; O(1) byte repositioning) ----------------
+
+    def seekable(self) -> bool:
+        return self._marker_len > 0
+
+    def n_frames(self) -> int:
+        end = os.fstat(self._fh.fileno()).st_size
+        rec = self._marker_len + self._payload
+        return max((end - self._data_start) // rec, 0)
+
+    def seek_frame(self, n: int):
+        if not self.seekable():
+            raise y4m_mod.Y4MError("stream is not seekable")
+        n = max(int(n), 0)
+        self._ring.stop()
+        rec = self._marker_len + self._payload
+        self._fh.seek(self._data_start + n * rec)
+        self._frame_index = n
+        self._open_ring()
+
+    def seek_pts(self, pts: float) -> float:
+        n = int(max(pts - self._start_pts, 0.0) / self._dt + 1e-6)
+        self.seek_frame(n)
+        return self._start_pts + n * self._dt
+
+    def stats(self) -> dict:
+        s = self._ring.stats()
+        s["recycled"] = self._recycled
+        s["outstanding"] = len(self._outstanding)
+        return s
+
+    def close(self):
+        if self._ring is not None:
+            self._ring.stop()
+        self._fh.close()
+
+
+def open_y4m(path: str, prefer_native: bool = True, ring_depth: int = 4,
+             start_pts: float = 0.0):
+    """Best y4m source for `path`: the native ring when built, the Python
+    reader otherwise (or for odd geometries)."""
+    if prefer_native and have_native_ingest():
+        try:
+            return NativeY4MSource(path, ring_depth=ring_depth,
+                                   start_pts=start_pts)
+        except y4m_mod.Y4MError as e:
+            log.info("native ingest unavailable for %s (%s); "
+                     "falling back to Python reader", path, e)
+    return y4m_mod.Y4MReader(open(path, "rb"), start_pts=start_pts)

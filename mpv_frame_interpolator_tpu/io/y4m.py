@@ -19,6 +19,7 @@ import numpy as np
 
 from mpv_frame_interpolator_tpu.frame import (
     FrameFormat, VideoFrame, NV12, P010, interleave_chroma, split_chroma)
+from mpv_frame_interpolator_tpu.native import interleave_chroma_into
 
 
 class Y4MError(ValueError):
@@ -35,35 +36,71 @@ def _parse_ratio(s: str) -> float:
     return int(num) / den if den else 0.0
 
 
-class Y4MReader:
-    """Streaming y4m demuxer -> VideoFrame (NV12 or P010 planes)."""
+# sanity caps: a hostile header must not become an allocation bomb or a
+# numeric blow-up (the reference's fuzzers cover its demuxer entry points,
+# fuzzers/fuzzer_load.c)
+MAX_DIMENSION = 16384
+MAX_PIXELS = 1 << 27     # ~134 MP, comfortably past 16K video
+MAX_FPS = 100000.0
 
-    def __init__(self, fh: BinaryIO, start_pts: float = 0.0):
-        self._fh = fh
-        header = fh.readline().decode("ascii", "replace").strip()
-        if not header.startswith("YUV4MPEG2"):
-            raise Y4MError("not a YUV4MPEG2 stream")
-        self.width = self.height = 0
-        self.fps = 0.0
-        cs = "420mpeg2"
-        for tok in header.split()[1:]:
-            key, val = tok[0], tok[1:]
+
+def parse_header(header: str):
+    """Parse a YUV4MPEG2 stream header line.
+
+    Returns (width, height, fps, pixfmt).  Raises Y4MError on anything
+    malformed, out of range, or outside the supported 4:2:0 colorspaces.
+    """
+    if not header.startswith("YUV4MPEG2"):
+        raise Y4MError("not a YUV4MPEG2 stream")
+    width = height = 0
+    fps = 0.0
+    cs = "420mpeg2"
+    for tok in header.split()[1:]:
+        key, val = tok[0], tok[1:]
+        try:
             if key == "W":
-                self.width = int(val)
+                width = int(val)
             elif key == "H":
-                self.height = int(val)
+                height = int(val)
             elif key == "F":
-                self.fps = _parse_ratio(val)
+                fps = _parse_ratio(val)
             elif key == "C":
                 cs = val
-        if not (self.width and self.height):
-            raise Y4MError(f"missing dimensions in header: {header!r}")
-        if cs in _COLORSPACE_8:
-            self.pixfmt = NV12
-        elif cs in _COLORSPACE_10:
-            self.pixfmt = P010
-        else:
-            raise Y4MError(f"unsupported colorspace C{cs} (need 4:2:0)")
+        except (ValueError, ZeroDivisionError) as e:
+            raise Y4MError(f"bad header token {tok!r}: {e}") from None
+    if not (0 < width <= MAX_DIMENSION and 0 < height <= MAX_DIMENSION
+            and width * height <= MAX_PIXELS):
+        raise Y4MError(f"bad dimensions in header: {header!r}")
+    if not (0.0 <= fps <= MAX_FPS) or fps != fps:
+        raise Y4MError(f"bad frame rate in header: {header!r}")
+    if cs in _COLORSPACE_8:
+        pixfmt = NV12
+    elif cs in _COLORSPACE_10:
+        pixfmt = P010
+    else:
+        raise Y4MError(f"unsupported colorspace C{cs} (need 4:2:0)")
+    return width, height, fps, pixfmt
+
+
+class Y4MReader:
+    """Streaming y4m demuxer -> VideoFrame (NV12 or P010 planes).
+
+    Frame buffers are drawn from a recycling FramePool (mp_image_pool
+    analog): frames carry a `recycle` hook, and consumers that copy the
+    planes off-host (the pipeline's staging path) call it so steady-state
+    reading allocates nothing.  Unrecycled frames simply cost a fresh
+    allocation, never corruption.  For maximum ingest throughput use the
+    C++ demuxer ring instead (io/ingest.py)."""
+
+    def __init__(self, fh: BinaryIO, start_pts: float = 0.0, pool=None):
+        self._fh = fh
+        header = fh.readline(4096).decode("ascii", "replace").strip()
+        self.width, self.height, self.fps, self.pixfmt = parse_header(header)
+        if pool is None:
+            from mpv_frame_interpolator_tpu.native import FramePool
+            pool = FramePool(max_entries=8)
+        self.pool = pool
+        self._scratch = None
         # 4:2:0 y4m streams always carry even dimensions, but be defensive:
         # crop odd sizes down (the engine requires even geometry)
         self._crop_w = self.width & ~1
@@ -145,52 +182,66 @@ class Y4MReader:
         self.seek_frame(n)
         return self._pts
 
+    def _read_into(self, arr: np.ndarray) -> bool:
+        """Fill `arr` (contiguous) from the stream; False on short read."""
+        mv = memoryview(arr).cast("B")
+        readinto = getattr(self._fh, "readinto", None)
+        if readinto is not None:
+            filled = 0
+            while filled < len(mv):
+                got = readinto(mv[filled:])
+                if not got:
+                    return False
+                filled += got
+            return True
+        data = self._fh.read(len(mv))
+        if len(data) < len(mv):
+            return False
+        mv[:] = data
+        return True
+
     def __iter__(self) -> Iterator[VideoFrame]:
         w, h = self.width, self.height
+        cw, ch = self._crop_w, self._crop_h
         dtype = self.fmt.dtype
-        itemsize = dtype().itemsize
-        ysz = w * h * itemsize
-        csz = (w // 2) * (h // 2) * itemsize
-        total = ysz + 2 * csz
-        readinto = getattr(self._fh, "readinto", None)
+        cropped = (cw, ch) != (w, h)
+        if self._scratch is None:
+            # planar U,V staging, reused every frame
+            self._scratch = np.empty((2, h // 2, w // 2), dtype)
+        u_s, v_s = self._scratch[0], self._scratch[1]
         while True:
-            line = self._fh.readline()
+            line = self._fh.readline(4096)
             if not line:
                 return
             if not line.startswith(b"FRAME"):
                 raise Y4MError(f"bad frame marker: {line[:20]!r}")
-            if readinto is not None:
-                # read straight into the frame's own buffer: one copy
-                # fewer than read()+frombuffer (the planes below are views)
-                buf = np.empty(total, np.uint8)
-                mv = memoryview(buf)
-                filled = 0
-                while filled < total:
-                    got = readinto(mv[filled:])
-                    if not got:
-                        break
-                    filled += got
-                if filled < total:
-                    return
-            else:
-                buf = self._fh.read(total)
-                if len(buf) < total:
-                    return
-            y = np.frombuffer(buf, dtype, w * h, 0).reshape(h, w)
-            u = np.frombuffer(buf, dtype, (w // 2) * (h // 2), ysz).reshape(h // 2, w // 2)
-            v = np.frombuffer(buf, dtype, (w // 2) * (h // 2), ysz + csz).reshape(h // 2, w // 2)
+            y = self.pool.get((h, w), dtype)
+            uv = self.pool.get((h // 2, w), dtype)
+            if not (self._read_into(y) and self._read_into(u_s)
+                    and self._read_into(v_s)):
+                self.pool.give_back(y)
+                self.pool.give_back(uv)
+                return
+            interleave_chroma_into(u_s, v_s, uv)
             if self.pixfmt == P010:
                 # y4m 420p10 carries 10-bit values; P010 uses the top bits
-                y = (y.astype(np.uint16) << 6)
-                u = (u.astype(np.uint16) << 6)
-                v = (v.astype(np.uint16) << 6)
-            if (self._crop_w, self._crop_h) != (w, h):
-                y = y[:self._crop_h, :self._crop_w]
-                u = u[:self._crop_h // 2, :self._crop_w // 2]
-                v = v[:self._crop_h // 2, :self._crop_w // 2]
-            frame = VideoFrame(np.ascontiguousarray(y),
-                               interleave_chroma(u, v), self.fmt,
-                               pts=self._pts, nominal_fps=self.fps)
+                np.left_shift(y, 6, out=y)
+                np.left_shift(uv, 6, out=uv)
+            pool = self.pool
+
+            def recycle(y=y, uv=uv, pool=pool):
+                pool.give_back(y)
+                pool.give_back(uv)
+
+            if cropped:
+                frame = VideoFrame(np.ascontiguousarray(y[:ch, :cw]),
+                                   np.ascontiguousarray(uv[:ch // 2, :cw]),
+                                   self.fmt, pts=self._pts,
+                                   nominal_fps=self.fps)
+                recycle()      # the cropped copies own their storage
+            else:
+                frame = VideoFrame(y, uv, self.fmt, pts=self._pts,
+                                   nominal_fps=self.fps, recycle=recycle)
             self._pts += self._dt
             yield frame
 
@@ -214,17 +265,34 @@ class Y4MWriter:
         fh.write(f"YUV4MPEG2 W{width} H{height} F{ratio} Ip A1:1 {cs}\n"
                  .encode("ascii"))
         self._n = 0
+        # persistent repack scratch: the write path allocates nothing per
+        # frame (the reference recycles output images through
+        # mp_image_pool; our sink equivalent is reused scratch planes)
+        self._u = self._v = self._ybuf = None
 
     def write(self, frame: VideoFrame):
+        from mpv_frame_interpolator_tpu import native
         self._fh.write(b"FRAME\n")
         w = frame.fmt.width
-        u, v = split_chroma(frame.uv[:, :w])
         y = frame.y[:, :w]
+        h, hc = y.shape[0], frame.uv.shape[0]
+        if self._u is None:
+            dt = frame.y.dtype
+            self._u = np.empty((hc, w // 2), dt)
+            self._v = np.empty((hc, w // 2), dt)
+            self._ybuf = np.empty((h, w), dt)
+        native.deinterleave_chroma_into(frame.uv[:, :w], self._u, self._v)
         if self.pixfmt == P010:
-            y, u, v = (y >> 6), (u >> 6), (v >> 6)
-        self._fh.write(np.ascontiguousarray(y).tobytes())
-        self._fh.write(np.ascontiguousarray(u).tobytes())
-        self._fh.write(np.ascontiguousarray(v).tobytes())
+            np.right_shift(y, 6, out=self._ybuf)
+            y = self._ybuf
+            np.right_shift(self._u, 6, out=self._u)
+            np.right_shift(self._v, 6, out=self._v)
+        elif not y.flags.c_contiguous:
+            np.copyto(self._ybuf, y)
+            y = self._ybuf
+        self._fh.write(y)
+        self._fh.write(self._u)
+        self._fh.write(self._v)
         self._n += 1
 
     def close(self):

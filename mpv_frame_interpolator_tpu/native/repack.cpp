@@ -13,8 +13,15 @@
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
 
+#include <unistd.h>
+
+#include <condition_variable>
 #include <cstdint>
 #include <cstring>
+#include <deque>
+#include <mutex>
+#include <string>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -238,6 +245,298 @@ static PyTypeObject PoolType = {
     PyVarObject_HEAD_INIT(nullptr, 0)
 };
 
+// ---------------------------------------------------------------------
+// Y4MRing: C++ demuxer thread for y4m payloads (demux-thread analog,
+// demux/demux.c:2549).  Python parses the stream header and registers
+// recycled frame buffers (push_free); this thread reads each FRAME record
+// straight into a registered luma buffer, repacks planar U,V into the
+// interleaved NV12/P010 chroma buffer (with the 10-bit << 6 shift fused
+// into the repack), and queues the filled slot for pop().  All file IO and
+// repack work runs without the GIL on a dedicated thread, so decode
+// overlaps device compute like the reference's demux + decode threads.
+// ---------------------------------------------------------------------
+
+struct RingSlot {
+    Py_buffer y;
+    Py_buffer uv;
+    long tag;
+};
+
+struct RingObject {
+    PyObject_HEAD
+    int fd;
+    int itemsize;   // 1 (NV12) or 2 (P010)
+    int shift;      // 10-bit -> P010 top-bits shift (6), else 0
+    size_t y_items, c_items;  // samples: w*h and (w/2)*(h/2)
+    std::mutex* mu;
+    std::condition_variable* cv;
+    std::deque<RingSlot>* free_q;
+    std::deque<RingSlot>* filled_q;
+    std::thread* thread;
+    bool stop_flag, eof;
+    std::string* err;
+    uint8_t* scratch;        // planar u+v staging (2 * c_items * itemsize)
+    long long frames_read;
+};
+
+static bool read_full(int fd, uint8_t* dst, size_t n) {
+    size_t got = 0;
+    while (got < n) {
+        ssize_t r = read(fd, dst + got, n - got);
+        if (r <= 0) return false;
+        got += r;
+    }
+    return true;
+}
+
+// 1 = frame follows, 0 = clean EOF, -1 = stream corrupt
+static int read_marker(int fd) {
+    std::string line;
+    char c;
+    do {
+        if (read(fd, &c, 1) <= 0) return line.empty() ? 0 : -1;
+        line.push_back(c);
+        if (line.size() > 256) return -1;
+    } while (c != '\n');
+    return line.compare(0, 5, "FRAME") == 0 ? 1 : -1;
+}
+
+template <typename T>
+static void interleave_shift(const T* u, const T* v, T* out, size_t n,
+                             int shift) {
+    for (size_t i = 0; i < n; i++) {
+        out[2 * i] = (T)(u[i] << shift);
+        out[2 * i + 1] = (T)(v[i] << shift);
+    }
+}
+
+static void ring_reader(RingObject* r) {
+    for (;;) {
+        RingSlot slot;
+        {
+            std::unique_lock<std::mutex> l(*r->mu);
+            r->cv->wait(l, [r] { return r->stop_flag || !r->free_q->empty(); });
+            if (r->stop_flag) return;
+            slot = r->free_q->front();
+            r->free_q->pop_front();
+        }
+        int m = read_marker(r->fd);
+        bool ok = false;
+        if (m == 1) {
+            const size_t ybytes = r->y_items * r->itemsize;
+            const size_t cbytes = r->c_items * r->itemsize;
+            ok = read_full(r->fd, (uint8_t*)slot.y.buf, ybytes) &&
+                 read_full(r->fd, r->scratch, 2 * cbytes);
+            if (ok) {
+                if (r->itemsize == 1) {
+                    interleave_shift((const uint8_t*)r->scratch,
+                                     (const uint8_t*)r->scratch + cbytes,
+                                     (uint8_t*)slot.uv.buf, r->c_items, 0);
+                } else {
+                    if (r->shift) {
+                        uint16_t* yb = (uint16_t*)slot.y.buf;
+                        for (size_t i = 0; i < r->y_items; i++)
+                            yb[i] = (uint16_t)(yb[i] << r->shift);
+                    }
+                    interleave_shift((const uint16_t*)r->scratch,
+                                     (const uint16_t*)r->scratch + r->c_items,
+                                     (uint16_t*)slot.uv.buf, r->c_items,
+                                     r->shift);
+                }
+            }
+        }
+        std::lock_guard<std::mutex> l(*r->mu);
+        if (!ok) {
+            if (m == -1) *r->err = "corrupt y4m FRAME record";
+            r->eof = true;
+            r->free_q->push_back(slot);  // buffers released at stop/dealloc
+            r->cv->notify_all();
+            return;
+        }
+        r->frames_read++;
+        r->filled_q->push_back(slot);
+        r->cv->notify_all();
+    }
+}
+
+static bool check_plane(const Py_buffer& b, size_t want_bytes,
+                        const char* name) {
+    if (!PyBuffer_IsContiguous(&b, 'C')) {
+        PyErr_Format(PyExc_ValueError, "%s buffer must be C-contiguous", name);
+        return false;
+    }
+    if ((size_t)b.len != want_bytes) {
+        PyErr_Format(PyExc_ValueError, "%s buffer is %zd bytes, need %zu",
+                     name, b.len, want_bytes);
+        return false;
+    }
+    return true;
+}
+
+static PyObject* ring_push_free(PyObject* self_, PyObject* args) {
+    RingObject* self = (RingObject*)self_;
+    long tag;
+    PyObject *yo, *uvo;
+    if (!PyArg_ParseTuple(args, "lOO", &tag, &yo, &uvo)) return nullptr;
+    RingSlot slot;
+    slot.tag = tag;
+    if (PyObject_GetBuffer(yo, &slot.y, PyBUF_C_CONTIGUOUS | PyBUF_WRITABLE) != 0)
+        return nullptr;
+    if (PyObject_GetBuffer(uvo, &slot.uv, PyBUF_C_CONTIGUOUS | PyBUF_WRITABLE) != 0) {
+        PyBuffer_Release(&slot.y);
+        return nullptr;
+    }
+    if (!check_plane(slot.y, self->y_items * self->itemsize, "y") ||
+        !check_plane(slot.uv, 2 * self->c_items * self->itemsize, "uv")) {
+        PyBuffer_Release(&slot.y);
+        PyBuffer_Release(&slot.uv);
+        return nullptr;
+    }
+    {
+        std::lock_guard<std::mutex> l(*self->mu);
+        if (self->stop_flag) {
+            PyBuffer_Release(&slot.y);
+            PyBuffer_Release(&slot.uv);
+            PyErr_SetString(PyExc_RuntimeError, "ring is stopped");
+            return nullptr;
+        }
+        self->free_q->push_back(slot);
+        self->cv->notify_all();
+    }
+    Py_RETURN_NONE;
+}
+
+static PyObject* ring_pop(PyObject* self_, PyObject*) {
+    RingObject* self = (RingObject*)self_;
+    bool have = false;
+    RingSlot slot{};
+    Py_BEGIN_ALLOW_THREADS {
+        std::unique_lock<std::mutex> l(*self->mu);
+        self->cv->wait(l, [self] {
+            return !self->filled_q->empty() || self->eof || self->stop_flag;
+        });
+        if (!self->filled_q->empty()) {
+            slot = self->filled_q->front();
+            self->filled_q->pop_front();
+            have = true;
+        }
+    }
+    Py_END_ALLOW_THREADS
+    if (!have) {
+        if (!self->err->empty()) {
+            PyErr_SetString(PyExc_RuntimeError, self->err->c_str());
+            return nullptr;
+        }
+        Py_RETURN_NONE;  // clean EOF, everything drained
+    }
+    long tag = slot.tag;
+    PyBuffer_Release(&slot.y);
+    PyBuffer_Release(&slot.uv);
+    return PyLong_FromLong(tag);
+}
+
+static void ring_stop_impl(RingObject* self) {
+    {
+        std::lock_guard<std::mutex> l(*self->mu);
+        self->stop_flag = true;
+        self->cv->notify_all();
+    }
+    if (self->thread) {
+        if (self->thread->joinable()) {
+            Py_BEGIN_ALLOW_THREADS
+            self->thread->join();
+            Py_END_ALLOW_THREADS
+        }
+        delete self->thread;
+        self->thread = nullptr;
+    }
+    // release every still-registered buffer (requires the GIL; thread dead)
+    for (auto* q : {self->free_q, self->filled_q}) {
+        for (auto& s : *q) {
+            PyBuffer_Release(&s.y);
+            PyBuffer_Release(&s.uv);
+        }
+        q->clear();
+    }
+}
+
+static PyObject* ring_stop(PyObject* self_, PyObject*) {
+    ring_stop_impl((RingObject*)self_);
+    Py_RETURN_NONE;
+}
+
+static PyObject* ring_stats(PyObject* self_, PyObject*) {
+    RingObject* self = (RingObject*)self_;
+    std::lock_guard<std::mutex> l(*self->mu);
+    return Py_BuildValue("{s:L,s:n,s:n,s:O}", "frames_read",
+                         (long long)self->frames_read, "free",
+                         (Py_ssize_t)self->free_q->size(), "filled",
+                         (Py_ssize_t)self->filled_q->size(), "eof",
+                         self->eof ? Py_True : Py_False);
+}
+
+static void ring_dealloc(PyObject* self_) {
+    RingObject* self = (RingObject*)self_;
+    ring_stop_impl(self);
+    free(self->scratch);
+    delete self->mu;
+    delete self->cv;
+    delete self->free_q;
+    delete self->filled_q;
+    delete self->err;
+    Py_TYPE(self)->tp_free(self_);
+}
+
+static PyObject* ring_new(PyTypeObject* type, PyObject* args, PyObject*) {
+    int fd, width, height, itemsize, shift;
+    if (!PyArg_ParseTuple(args, "iiiii", &fd, &width, &height, &itemsize,
+                          &shift))
+        return nullptr;
+    if (width <= 0 || height <= 0 || width % 2 || height % 2 ||
+        (itemsize != 1 && itemsize != 2) || shift < 0 || shift > 8) {
+        PyErr_SetString(PyExc_ValueError, "bad ring geometry");
+        return nullptr;
+    }
+    RingObject* self = (RingObject*)type->tp_alloc(type, 0);
+    if (!self) return nullptr;
+    self->fd = fd;
+    self->itemsize = itemsize;
+    self->shift = shift;
+    self->y_items = (size_t)width * height;
+    self->c_items = (size_t)(width / 2) * (height / 2);
+    self->mu = new std::mutex();
+    self->cv = new std::condition_variable();
+    self->free_q = new std::deque<RingSlot>();
+    self->filled_q = new std::deque<RingSlot>();
+    self->err = new std::string();
+    self->stop_flag = false;
+    self->eof = false;
+    self->frames_read = 0;
+    self->thread = nullptr;
+    void* sc = nullptr;
+    if (posix_memalign(&sc, 128, 2 * self->c_items * itemsize) != 0) {
+        Py_DECREF(self);
+        return PyErr_NoMemory();
+    }
+    self->scratch = (uint8_t*)sc;
+    self->thread = new std::thread(ring_reader, self);
+    return (PyObject*)self;
+}
+
+static PyMethodDef ring_methods[] = {
+    {"push_free", ring_push_free, METH_VARARGS,
+     "push_free(tag, y, uv): register writable frame buffers for filling"},
+    {"pop", ring_pop, METH_NOARGS,
+     "pop() -> tag of the next filled slot, or None at EOF"},
+    {"stop", ring_stop, METH_NOARGS, "stop + join the demuxer thread"},
+    {"stats", ring_stats, METH_NOARGS, "frames_read/free/filled/eof"},
+    {nullptr, nullptr, 0, nullptr},
+};
+
+static PyTypeObject RingType = {
+    PyVarObject_HEAD_INIT(nullptr, 0)
+};
+
 static PyMethodDef module_methods[] = {
     {"interleave_chroma", py_interleave, METH_VARARGS,
      "interleave_chroma(u, v, out): planar -> NV12 UV plane"},
@@ -267,5 +566,16 @@ PyMODINIT_FUNC PyInit__mfi_native(void) {
     if (PyType_Ready(&PoolType) < 0) return nullptr;
     Py_INCREF(&PoolType);
     PyModule_AddObject(m, "BufferPool", (PyObject*)&PoolType);
+    RingType.tp_name = "_mfi_native.Y4MRing";
+    RingType.tp_basicsize = sizeof(RingObject);
+    RingType.tp_flags = Py_TPFLAGS_DEFAULT;
+    RingType.tp_new = ring_new;
+    RingType.tp_dealloc = ring_dealloc;
+    RingType.tp_methods = ring_methods;
+    RingType.tp_doc =
+        "C++ y4m demuxer thread filling registered recycled buffers";
+    if (PyType_Ready(&RingType) < 0) return nullptr;
+    Py_INCREF(&RingType);
+    PyModule_AddObject(m, "Y4MRing", (PyObject*)&RingType);
     return m;
 }

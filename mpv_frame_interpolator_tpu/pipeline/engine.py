@@ -73,6 +73,18 @@ class EngineConfig:
     stats_log_path: str = ""         # append per-source-frame compute time
                                      # (SAVE_STATS/ofclog.txt analog,
                                      # vf_HopperRender.c:313-324)
+    # flow/warp split telemetry (the reference times each stage with CL
+    # profiling events, opticalFlowCalc.c:111-122,192-201; the fused
+    # one-dispatch hot path has no stage boundary to time):
+    #   "auto"   = keep the fused dispatch; when a telemetry consumer asks
+    #              (applet / ofc-time property), measure the split once per
+    #              (radius, batch, mode) spec via dedicated flow/warp
+    #              programs and republish on spec changes
+    #   "always" = dispatch flow and warp as two programs every source
+    #              frame and time each (reference-authentic; slightly
+    #              slower: two device round-trips per pair)
+    #   "off"    = no split telemetry (ofc/warp times read 0)
+    split_timing: str = "auto"
 
     def __post_init__(self):
         # startup validation mirroring vf_HopperRender_create
@@ -89,6 +101,8 @@ class EngineConfig:
             raise ValueError("display_fps must be positive")
         if self.cut_policy not in ("nearest", "hold"):
             raise ValueError("cut_policy must be 'nearest' or 'hold'")
+        if self.split_timing not in ("auto", "always", "off"):
+            raise ValueError("split_timing must be auto|always|off")
 
 
 class OutputFrame:
@@ -133,6 +147,73 @@ class _DeviceFrame:
     v: jax.Array
 
 
+def _flow_stage(geom, scale_shift, scene_enabled, model, pallas_blur,
+                f1y, f1u, f1v, f2y, f2u, f2v, radius, ds, nbs,
+                scene_threshold):
+    """Traced flow half of a source pair: scene score + hierarchical flow.
+    Returns (blurred flow, cut_score)."""
+    from mpv_frame_interpolator_tpu.ops.flow import _flow_impl
+    from mpv_frame_interpolator_tpu.ops.oracle import MAX_SEARCH_RADIUS
+    if scene_enabled:
+        cut_score = scene_mod.cut_score(f1y, f2y, geom.res_scalar,
+                                        scale_shift)
+    else:
+        cut_score = jnp.float32(0.0)
+
+    if model in ("hopper", "hopperx", "hopperq"):
+        _, blurred = _flow_impl(geom, radius, scale_shift,
+                                f1y, f1u, f1v, f2y, f2u, f2v,
+                                ds, nbs, layers=MAX_SEARCH_RADIUS,
+                                pallas_blur=pallas_blur)
+    else:
+        # blend / repeat families: null flow field (models/__init__.py)
+        blurred = jnp.zeros((2, geom.low_h, geom.low_w), jnp.int32)
+    return blurred, cut_score
+
+
+def _warp_stage(geom, mode, scale_shift, cut_policy, scene_enabled, model,
+                f1y, f1u, f1v, f2y, f2u, f2v, blurred, cut_score, ts,
+                black, white, scene_threshold):
+    """Traced warp half: scene-cut folding + N batched warps + NV12
+    re-interleave.  Returns (y batch, uv batch)."""
+    dtype = jnp.uint16 if scale_shift else jnp.uint8
+    if scene_enabled:
+        cut = cut_score > scene_threshold
+    else:
+        cut = jnp.asarray(False)
+
+    blurred_w = jnp.where(cut, jnp.zeros_like(blurred), blurred)
+    if cut_policy == "nearest":
+        ts_cut = jnp.where(ts >= 0.5, 1.0, 0.0).astype(jnp.float32)
+    else:  # hold the previous frame
+        ts_cut = jnp.zeros_like(ts)
+    ts_w = jnp.where(cut, ts_cut, ts)
+    if model == "repeat":
+        # nearest-source snap at every position (cadence without
+        # interpolation -- what a plain player displays)
+        ts_w = jnp.where(ts_w >= 0.5, 1.0, 0.0).astype(jnp.float32)
+
+    if mode in (warp_ops.SIDE_BY_SIDE_1, warp_ops.SIDE_BY_SIDE_2):
+        def one(t):
+            return warp_ops._warp_impl(
+                geom, mode, scale_shift, dtype,
+                f1y, f1u, f1v, f2y, f2u, f2v, blurred_w, t, black, white)
+        y, u, v = jax.vmap(one)(ts_w)
+    else:
+        fields = warp_ops._warp_fields(geom, blurred_w)
+
+        def one(t):
+            return warp_ops._warp_sample(
+                geom, mode, scale_shift, dtype,
+                f1y, f1u, f1v, f2y, f2u, f2v, fields, t, black, white,
+                occlusion_aware=(model == "hopperx"),
+                bilinear=(model == "hopperq"))
+        y, u, v = jax.vmap(one)(ts_w)
+    n, hc, wc = u.shape
+    uv = jnp.stack((u, v), axis=3).reshape(n, hc, wc * 2)
+    return y, uv
+
+
 @functools.lru_cache(maxsize=128)
 def _make_source_step(geom: FlowGeometry, mode: int,
                       scale_shift: int, cut_policy: str,
@@ -148,62 +229,45 @@ def _make_source_step(geom: FlowGeometry, mode: int,
 
     The search radius is traced (masked layers, ops/flow.py), so the
     quality controller's radius changes never recompile."""
-    from mpv_frame_interpolator_tpu.ops.flow import _flow_impl
-    from mpv_frame_interpolator_tpu.ops.oracle import MAX_SEARCH_RADIUS
-    dtype = jnp.uint16 if scale_shift else jnp.uint8
 
     def step(f1y, f1u, f1v, f2y, f2u, f2v, ts, radius, ds, nbs, black,
              white, scene_threshold):
-        # scene-change score at flow resolution (pipeline/scene.py)
-        if scene_enabled:
-            cut_score = scene_mod.cut_score(f1y, f2y, geom.res_scalar,
-                                            scale_shift)
-            cut = cut_score > scene_threshold
-        else:
-            cut_score = jnp.float32(0.0)
-            cut = jnp.asarray(False)
-
-        if model in ("hopper", "hopperx", "hopperq"):
-            offset, blurred = _flow_impl(geom, radius, scale_shift,
-                                         f1y, f1u, f1v, f2y, f2u, f2v,
-                                         ds, nbs, layers=MAX_SEARCH_RADIUS,
-                                         pallas_blur=pallas_blur)
-        else:
-            # blend / repeat families: null flow field (models/__init__.py)
-            offset = jnp.zeros((2, geom.low_h, geom.low_w), jnp.int32)
-            blurred = offset
-
-        blurred_w = jnp.where(cut, jnp.zeros_like(blurred), blurred)
-        if cut_policy == "nearest":
-            ts_cut = jnp.where(ts >= 0.5, 1.0, 0.0).astype(jnp.float32)
-        else:  # hold the previous frame
-            ts_cut = jnp.zeros_like(ts)
-        ts_w = jnp.where(cut, ts_cut, ts)
-        if model == "repeat":
-            # nearest-source snap at every position (cadence without
-            # interpolation -- what a plain player displays)
-            ts_w = jnp.where(ts_w >= 0.5, 1.0, 0.0).astype(jnp.float32)
-
-        if mode in (warp_ops.SIDE_BY_SIDE_1, warp_ops.SIDE_BY_SIDE_2):
-            def one(t):
-                return warp_ops._warp_impl(
-                    geom, mode, scale_shift, dtype,
-                    f1y, f1u, f1v, f2y, f2u, f2v, blurred_w, t, black, white)
-            y, u, v = jax.vmap(one)(ts_w)
-        else:
-            fields = warp_ops._warp_fields(geom, blurred_w)
-
-            def one(t):
-                return warp_ops._warp_sample(
-                    geom, mode, scale_shift, dtype,
-                    f1y, f1u, f1v, f2y, f2u, f2v, fields, t, black, white,
-                    occlusion_aware=(model == "hopperx"),
-                    bilinear=(model == "hopperq"))
-            y, u, v = jax.vmap(one)(ts_w)
-        n, hc, wc = u.shape
-        uv = jnp.stack((u, v), axis=3).reshape(n, hc, wc * 2)
+        blurred, cut_score = _flow_stage(
+            geom, scale_shift, scene_enabled, model, pallas_blur,
+            f1y, f1u, f1v, f2y, f2u, f2v, radius, ds, nbs, scene_threshold)
+        y, uv = _warp_stage(
+            geom, mode, scale_shift, cut_policy, scene_enabled, model,
+            f1y, f1u, f1v, f2y, f2u, f2v, blurred, cut_score, ts,
+            black, white, scene_threshold)
         return y, uv, blurred, cut_score
 
+    return jax.jit(step)
+
+
+@functools.lru_cache(maxsize=32)
+def _make_flow_step(geom: FlowGeometry, scale_shift: int,
+                    scene_enabled: bool, model: str, pallas_blur: bool):
+    """Flow-only program for split-timing (opticalFlowCalc.c:111-122
+    OFC-event analog).  Same traced code as the fused step's first half."""
+    def step(f1y, f1u, f1v, f2y, f2u, f2v, radius, ds, nbs,
+             scene_threshold):
+        return _flow_stage(geom, scale_shift, scene_enabled, model,
+                           pallas_blur, f1y, f1u, f1v, f2y, f2u, f2v,
+                           radius, ds, nbs, scene_threshold)
+    return jax.jit(step)
+
+
+@functools.lru_cache(maxsize=64)
+def _make_warp_step(geom: FlowGeometry, mode: int, scale_shift: int,
+                    cut_policy: str, scene_enabled: bool, model: str):
+    """Warp-only program for split-timing (opticalFlowCalc.c:192-201
+    warp-event analog).  Same traced code as the fused step's second half."""
+    def step(f1y, f1u, f1v, f2y, f2u, f2v, blurred, cut_score, ts, black,
+             white, scene_threshold):
+        return _warp_stage(geom, mode, scale_shift, cut_policy,
+                           scene_enabled, model, f1y, f1u, f1v, f2y, f2u,
+                           f2v, blurred, cut_score, ts, black, white,
+                           scene_threshold)
     return jax.jit(step)
 
 
@@ -237,6 +301,9 @@ class InterpolationEngine:
         self._blurred = None
         self._last_cut_score = None
         self._warm = set()           # (radius, mode) specializations executed
+        # split flow/warp telemetry state (see EngineConfig.split_timing)
+        self._split_wanted = self.config.split_timing == "always"
+        self._split_cache = {}   # (radius, mode, n, model) -> (flow, warp)
         if self.config.compilation_cache_dir:
             import os as _os
             jax.config.update(
@@ -319,12 +386,23 @@ class InterpolationEngine:
         opticalFlowCalc.c:98-100).  jax.device_put returns immediately; the
         transfer overlaps compute.  Call from a reader thread (the
         pipeline's prefetcher does) so even the enqueue cost is off the
-        critical path."""
+        critical path.
+
+        Frames carrying a `recycle` hook (native ingest, io/ingest.py) get
+        their host buffers returned to the source pool once the device
+        copy has completed -- the blocking wait runs on the reader thread,
+        off the critical path, and keeps steady-state ingest allocation-
+        free (mp_image_pool recycling analog)."""
         import dataclasses
         if isinstance(frame.y, jax.Array):
             return frame
-        return dataclasses.replace(frame, y=jax.device_put(frame.y),
-                                   uv=jax.device_put(frame.uv))
+        y = jax.device_put(frame.y)
+        uv = jax.device_put(frame.uv)
+        if frame.recycle is not None:
+            jax.block_until_ready(y)
+            jax.block_until_ready(uv)
+            frame.recycle()
+        return dataclasses.replace(frame, y=y, uv=uv, recycle=None)
 
     def _upload(self, frame: VideoFrame) -> _DeviceFrame:
         u, v = split_chroma(frame.uv)
@@ -377,19 +455,30 @@ class InterpolationEngine:
             # first-frame interpolation (SideBySide2): pair with itself
             f1 = f2
 
-        step = _make_source_step(self.geom,
-                                 self.frame_output_mode, self._scale_shift,
-                                 self.config.cut_policy, self.scene.enabled,
-                                 self.config.model, self.config.pallas_blur)
         out_fmt = self._out_fmt()
         ts = jnp.asarray([slot.blend for slot in plan.outputs], jnp.float32)
-        y, uv, blurred, cut_score = step(
-            f1.y, f1.u, f1.v, f2.y, f2.u, f2.v, ts,
-            jnp.int32(self.quality.search_radius),
-            jnp.int32(self.delta_scalar),
-            jnp.int32(self.neighbor_bias_scalar),
-            jnp.float32(self.black_level), jnp.float32(self.white_level),
-            jnp.float32(self.scene.threshold))
+        args = (f1.y, f1.u, f1.v, f2.y, f2.u, f2.v)
+        knobs = (jnp.int32(self.quality.search_radius),
+                 jnp.int32(self.delta_scalar),
+                 jnp.int32(self.neighbor_bias_scalar))
+        levels = (jnp.float32(self.black_level),
+                  jnp.float32(self.white_level))
+        thr = jnp.float32(self.scene.threshold)
+
+        if self.config.split_timing == "always":
+            # reference-authentic two-dispatch mode: flow and warp are
+            # separate programs, each timed by a device sync
+            # (opticalFlowCalc.c:111-122,192-201)
+            y, uv, blurred, cut_score, dur = self._push_split(
+                args, knobs, levels, thr, ts, was_warm, len(plan.outputs))
+        else:
+            step = _make_source_step(
+                self.geom, self.frame_output_mode, self._scale_shift,
+                self.config.cut_policy, self.scene.enabled,
+                self.config.model, self.config.pallas_blur)
+            y, uv, blurred, cut_score = step(*args, ts, *knobs, *levels,
+                                             thr)
+            dur = None
         self._blurred = blurred
         self._last_cut_score = cut_score
         outputs: List[OutputFrame] = [
@@ -397,26 +486,90 @@ class InterpolationEngine:
             for i, slot in enumerate(plan.outputs)]
 
         if self.config.measure_timing and outputs:
-            outputs[-1].block()
-            now = time.perf_counter()
-            dur = now - t0
+            if dur is None:
+                outputs[-1].block()
+                dur = time.perf_counter() - t0
             if was_warm:
                 self._last_calc_duration = dur
                 self.stats.add("source_frame_time", dur)
                 if self.config.stats_log_path:
                     with open(self.config.stats_log_path, "a") as fh:
                         fh.write(f"{dur:.6f}\n")
-                # the fused dispatch has no flow/warp boundary; attribute
-                # the whole duration for telemetry and split heuristically
-                self.stats.add("flow_time", dur * 0.4)
-                self.stats.add("warp_total", dur * 0.6)
-                self.stats.add("warp_time", dur * 0.6 / len(outputs))
+                if self.config.split_timing == "auto" and self._split_wanted:
+                    split_spec = (self.quality.search_radius,
+                                  self.frame_output_mode, len(outputs),
+                                  self.config.model)
+                    cached = self._split_cache.get(split_spec)
+                    if cached is None:
+                        self._calibrate_split(args, knobs, levels, thr, ts,
+                                              split_spec, len(outputs))
+                    else:
+                        # republish so telemetry tracks the live spec
+                        self._record_split(*cached, len(outputs))
             else:
                 # compile happened inside: not a compute-time measurement
                 self._last_calc_duration = 0.0
             self.stats.add("outputs", len(outputs))
         self._warm.add(spec_key)
         return outputs
+
+    # -- split flow/warp timing (see EngineConfig.split_timing) ----------
+
+    def request_split_timing(self):
+        """Called by telemetry consumers (applet, ofc-time/warp-time
+        properties): enables the once-per-spec split calibration."""
+        self._split_wanted = True
+
+    def _split_fns(self):
+        flow_fn = _make_flow_step(self.geom, self._scale_shift,
+                                  self.scene.enabled, self.config.model,
+                                  self.config.pallas_blur)
+        warp_fn = _make_warp_step(self.geom, self.frame_output_mode,
+                                  self._scale_shift, self.config.cut_policy,
+                                  self.scene.enabled, self.config.model)
+        return flow_fn, warp_fn
+
+    def _record_split(self, flow_t: float, warp_t: float, n_outputs: int):
+        self.stats.add("flow_time", flow_t)
+        self.stats.add("warp_total", warp_t)
+        self.stats.add("warp_time", warp_t / max(n_outputs, 1))
+
+    def _push_split(self, args, knobs, levels, thr, ts, was_warm: bool,
+                    n_outputs: int):
+        flow_fn, warp_fn = self._split_fns()
+        t0 = time.perf_counter()
+        blurred, cut_score = flow_fn(*args, *knobs, thr)
+        jax.block_until_ready(blurred)
+        t1 = time.perf_counter()
+        y, uv = warp_fn(*args, blurred, cut_score, ts, *levels, thr)
+        jax.block_until_ready(uv)
+        t2 = time.perf_counter()
+        if was_warm:
+            self._record_split(t1 - t0, t2 - t1, n_outputs)
+        return y, uv, blurred, cut_score, t2 - t0
+
+    def _calibrate_split(self, args, knobs, levels, thr, ts, split_spec,
+                         n_outputs: int):
+        """Measure the flow/warp split once for the current spec with
+        dedicated programs (the fused hot dispatch has no internal
+        boundary).  Re-runs only when radius/batch/mode/model change, so
+        the telemetry tracks real spec-dependent costs without taxing the
+        steady state."""
+        flow_fn, warp_fn = self._split_fns()
+        # warm both programs so compile time never lands in the numbers
+        blurred, cut_score = flow_fn(*args, *knobs, thr)
+        jax.block_until_ready(blurred)
+        jax.block_until_ready(warp_fn(*args, blurred, cut_score, ts,
+                                      *levels, thr))
+        t0 = time.perf_counter()
+        blurred, cut_score = flow_fn(*args, *knobs, thr)
+        jax.block_until_ready(blurred)
+        t1 = time.perf_counter()
+        jax.block_until_ready(warp_fn(*args, blurred, cut_score, ts,
+                                      *levels, thr))
+        t2 = time.perf_counter()
+        self._record_split(t1 - t0, t2 - t1, n_outputs)
+        self._split_cache[split_spec] = (t1 - t0, t2 - t1)
 
     def flush(self) -> List[OutputFrame]:
         """End-of-stream: nothing is held back.  The reference emits all

@@ -80,7 +80,11 @@ class _Prefetcher:
         while self._thread.is_alive():
             try:
                 while True:
-                    self._q.get_nowait()
+                    item = self._q.get_nowait()
+                    # return pooled buffers of frames that never reached
+                    # the engine (unstaged frames still own them)
+                    if getattr(item, "recycle", None) is not None:
+                        item.recycle()
             except queue.Empty:
                 pass
             self._thread.join(timeout=0.05)
