@@ -153,6 +153,17 @@ def make_source(args):
         else:
             rdr = ingest.open_y4m(args.source)
         return rdr, rdr.width, rdr.height
+    if args.source.endswith((".mkv", ".webm")):
+        from mpv_frame_interpolator_tpu.io.decode import have_ffmpeg
+        from mpv_frame_interpolator_tpu.io.mkv import MKVError, MKVReader
+        try:
+            rdr = MKVReader(args.source)
+            return rdr, rdr.width, rdr.height
+        except MKVError as e:
+            # compressed codec (or exotic layout): needs a real decoder
+            if not have_ffmpeg():
+                raise SystemExit(f"cannot open {args.source!r}: {e}")
+            log.info("native MKV demux declined (%s); using ffmpeg", e)
     from mpv_frame_interpolator_tpu.io.decode import ffmpeg_source
     src = ffmpeg_source(args.source, P010 if args.p010 else NV12)
     return src, args.width, args.height

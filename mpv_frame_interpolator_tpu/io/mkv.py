@@ -1,0 +1,328 @@
+"""Minimal Matroska (MKV/WebM container) demuxer for uncompressed video.
+
+The reference demuxes containers through demux_mkv.c (a full EBML parser)
+and demux_lavf.c.  This build image has no FFmpeg, so the rebuild ships
+its own small EBML/Matroska reader covering the codec-free path that is
+actually usable on a TPU host: `V_UNCOMPRESSED` video tracks (raw I420 /
+NV12 planes in SimpleBlocks), the format `ffmpeg -c:v rawvideo -f
+matroska` produces.  Compressed codecs still require an external decoder
+(io/decode.py); trying to open one here fails with a clear error naming
+the codec.
+
+Design: one linear header+cluster scan at open builds a complete frame
+index (byte offset, pts) -- the payloads are skipped via their declared
+sizes, so indexing a multi-GB file touches only element headers.  After
+that, reads and seeks are O(1) pread-style accesses, which also makes the
+source trivially compatible with the pipeline's seek path.
+
+Format references (public Matroska/EBML spec, matroska.org):
+  EBML header 0x1A45DFA3; Segment 0x18538067; Info 0x1549A966
+  (TimestampScale 0x2AD7B1); Tracks 0x1654AE6B (TrackEntry 0xAE,
+  TrackNumber 0xD7, CodecID 0x86, Video 0xE0, PixelWidth 0xB0,
+  PixelHeight 0xBA, ColourSpace 0x2EB524); Cluster 0x1F43B675
+  (Timestamp 0xE7, SimpleBlock 0xA3, BlockGroup 0xA0 / Block 0xA1).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import struct
+from typing import BinaryIO, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from mpv_frame_interpolator_tpu.frame import (
+    FrameFormat, NV12, P010, VideoFrame)
+from mpv_frame_interpolator_tpu.native import interleave_chroma_into
+from mpv_frame_interpolator_tpu.utils import get_logger
+
+log = get_logger("mkv")
+
+
+class MKVError(ValueError):
+    pass
+
+
+# element IDs (class IDs with the marker bits, as stored)
+EBML_HEADER = 0x1A45DFA3
+SEGMENT = 0x18538067
+SEGMENT_INFO = 0x1549A966
+TIMESTAMP_SCALE = 0x2AD7B1
+TRACKS = 0x1654AE6B
+TRACK_ENTRY = 0xAE
+TRACK_NUMBER = 0xD7
+TRACK_TYPE = 0x83
+CODEC_ID = 0x86
+CODEC_PRIVATE = 0x63A2
+DEFAULT_DURATION = 0x23E383
+VIDEO = 0xE0
+PIXEL_WIDTH = 0xB0
+PIXEL_HEIGHT = 0xBA
+COLOUR_SPACE = 0x2EB524
+CLUSTER = 0x1F43B675
+CLUSTER_TIMESTAMP = 0xE7
+SIMPLE_BLOCK = 0xA3
+BLOCK_GROUP = 0xA0
+BLOCK = 0xA1
+BLOCK_TIMESTAMP_REL = None  # relative ts lives inside the block header
+
+_MAX_DIM = 16384
+_MAX_PIXELS = 1 << 27
+
+
+def _read_vint(fh: BinaryIO, keep_marker: bool) -> Tuple[Optional[int], int]:
+    """EBML variable-length integer -> (value, total length).
+
+    keep_marker=True returns the raw bytes as stored (element IDs);
+    False strips the length-marker bit (sizes / track numbers).
+    Returns (None, 0) at clean EOF."""
+    first = fh.read(1)
+    if not first:
+        return None, 0
+    b0 = first[0]
+    if b0 == 0:
+        raise MKVError("invalid EBML vint (zero leading byte)")
+    length = 1
+    mask = 0x80
+    while not (b0 & mask):
+        length += 1
+        mask >>= 1
+        if length > 8:
+            raise MKVError("EBML vint longer than 8 bytes")
+    rest = fh.read(length - 1)
+    if len(rest) < length - 1:
+        raise MKVError("truncated EBML vint")
+    val = b0 if keep_marker else (b0 & (mask - 1))
+    for byte in rest:
+        val = (val << 8) | byte
+    return val, length
+
+
+def _read_uint(data: bytes) -> int:
+    val = 0
+    for b in data:
+        val = (val << 8) | b
+    return val
+
+
+@dataclasses.dataclass
+class _Track:
+    number: int = 0
+    codec_id: str = ""
+    width: int = 0
+    height: int = 0
+    colour_space: bytes = b""
+    default_duration_ns: int = 0
+    is_video: bool = False
+
+
+class MKVReader:
+    """Matroska demuxer for V_UNCOMPRESSED video -> VideoFrame.
+
+    Raises MKVError with the codec name for compressed tracks (those need
+    an external decoder, io/decode.py)."""
+
+    def __init__(self, path: str, start_pts: float = 0.0):
+        self._fh = open(path, "rb")
+        self._start_pts = start_pts
+        self.timestamp_scale = 1000000          # ns per tick (default 1ms)
+        self.track: Optional[_Track] = None
+        # frame index: (byte offset of payload, payload size, pts seconds)
+        self._index: List[Tuple[int, int, float]] = []
+        self._pos = 0                           # next frame to read
+        self._parse()
+        if self.track is None:
+            raise MKVError("no video track found")
+        t = self.track
+        if t.codec_id != "V_UNCOMPRESSED":
+            raise MKVError(
+                f"track codec {t.codec_id!r} needs an external decoder "
+                f"(only V_UNCOMPRESSED is demuxed natively; see "
+                f"io/decode.py)")
+        fourcc = t.colour_space.decode("ascii", "replace").strip("\0 ")
+        if fourcc in ("I420", "IYUV", ""):
+            self._layout = "i420"
+        elif fourcc == "NV12":
+            self._layout = "nv12"
+        else:
+            raise MKVError(f"unsupported uncompressed layout {fourcc!r}")
+        if not (0 < t.width <= _MAX_DIM and 0 < t.height <= _MAX_DIM
+                and t.width * t.height <= _MAX_PIXELS):
+            raise MKVError(f"bad video dimensions {t.width}x{t.height}")
+        if t.width % 2 or t.height % 2:
+            raise MKVError("4:2:0 requires even dimensions")
+        self.width, self.height = t.width, t.height
+        self.fps = (1e9 / t.default_duration_ns
+                    if t.default_duration_ns else self._infer_fps())
+        self.fmt = FrameFormat(self.width, self.height, NV12)
+        self._expected = self.width * self.height * 3 // 2
+
+    # -- parsing ----------------------------------------------------------
+
+    def _parse(self):
+        fh = self._fh
+        eid, _ = _read_vint(fh, True)
+        if eid != EBML_HEADER:
+            raise MKVError("not an EBML/Matroska file")
+        size, _ = _read_vint(fh, False)
+        fh.seek(size, 1)
+        eid, _ = _read_vint(fh, True)
+        if eid != SEGMENT:
+            raise MKVError("no Segment element")
+        seg_size, _ = _read_vint(fh, False)
+        seg_end = None
+        if seg_size != (1 << 56) - 1:           # "unknown size" sentinel
+            seg_end = fh.tell() + seg_size
+        while True:
+            if seg_end is not None and fh.tell() >= seg_end:
+                break
+            eid, n = _read_vint(fh, True)
+            if eid is None:
+                break
+            size, _ = _read_vint(fh, False)
+            start = fh.tell()
+            if eid == SEGMENT_INFO:
+                self._parse_info(start, size)
+            elif eid == TRACKS:
+                self._parse_tracks(start, size)
+            elif eid == CLUSTER:
+                self._parse_cluster(start, size)
+            fh.seek(start + size)
+
+    def _children(self, start: int, size: int):
+        """Iterate (id, payload offset, payload size) of a master element."""
+        fh = self._fh
+        fh.seek(start)
+        end = start + size
+        while fh.tell() < end:
+            eid, _ = _read_vint(fh, True)
+            if eid is None:
+                return
+            esize, _ = _read_vint(fh, False)
+            pos = fh.tell()
+            yield eid, pos, esize
+            fh.seek(pos + esize)
+
+    def _parse_info(self, start: int, size: int):
+        for eid, pos, esize in self._children(start, size):
+            if eid == TIMESTAMP_SCALE:
+                self._fh.seek(pos)
+                self.timestamp_scale = _read_uint(self._fh.read(esize))
+
+    def _parse_tracks(self, start: int, size: int):
+        for eid, pos, esize in self._children(start, size):
+            if eid != TRACK_ENTRY:
+                continue
+            t = _Track()
+            for cid, cpos, csize in list(self._children(pos, esize)):
+                self._fh.seek(cpos)
+                data = self._fh.read(csize)
+                if cid == TRACK_NUMBER:
+                    t.number = _read_uint(data)
+                elif cid == TRACK_TYPE:
+                    t.is_video = _read_uint(data) == 1
+                elif cid == CODEC_ID:
+                    t.codec_id = data.decode("ascii", "replace")
+                elif cid == DEFAULT_DURATION:
+                    t.default_duration_ns = _read_uint(data)
+                elif cid == VIDEO:
+                    for vid, vpos, vsize in list(self._children(cpos, csize)):
+                        self._fh.seek(vpos)
+                        vdata = self._fh.read(vsize)
+                        if vid == PIXEL_WIDTH:
+                            t.width = _read_uint(vdata)
+                        elif vid == PIXEL_HEIGHT:
+                            t.height = _read_uint(vdata)
+                        elif vid == COLOUR_SPACE:
+                            t.colour_space = vdata
+            if t.is_video and self.track is None:
+                self.track = t
+
+    def _parse_cluster(self, start: int, size: int):
+        cluster_ts = 0
+        for eid, pos, esize in self._children(start, size):
+            if eid == CLUSTER_TIMESTAMP:
+                self._fh.seek(pos)
+                cluster_ts = _read_uint(self._fh.read(esize))
+            elif eid in (SIMPLE_BLOCK, BLOCK):
+                self._index_block(pos, esize, cluster_ts)
+            elif eid == BLOCK_GROUP:
+                for gid, gpos, gsize in list(self._children(pos, esize)):
+                    if gid == BLOCK:
+                        self._index_block(gpos, gsize, cluster_ts)
+
+    def _index_block(self, pos: int, size: int, cluster_ts: int):
+        fh = self._fh
+        fh.seek(pos)
+        tracknum, n = _read_vint(fh, False)
+        rel = struct.unpack(">h", fh.read(2))[0]
+        flags = fh.read(1)[0]
+        if self.track is not None and tracknum != self.track.number:
+            return
+        lacing = (flags >> 1) & 3
+        if lacing != 0:
+            raise MKVError("laced blocks are not supported for raw video")
+        header = n + 3
+        ts_ns = (cluster_ts + rel) * self.timestamp_scale
+        self._index.append((pos + header, size - header, ts_ns / 1e9))
+
+    def _infer_fps(self) -> float:
+        if len(self._index) >= 2:
+            dts = [b[2] - a[2] for a, b in zip(self._index, self._index[1:])]
+            dt = float(np.median(dts))
+            if dt > 0:
+                return 1.0 / dt
+        return 0.0
+
+    # -- reading ----------------------------------------------------------
+
+    def n_frames(self) -> int:
+        return len(self._index)
+
+    def seekable(self) -> bool:
+        return True
+
+    def seek_frame(self, n: int):
+        self._pos = max(min(int(n), len(self._index)), 0)
+
+    def seek_pts(self, pts: float) -> float:
+        target = pts - self._start_pts
+        lo = 0
+        for i, (_, _, t) in enumerate(self._index):
+            if t <= target + 1e-9:
+                lo = i
+            else:
+                break
+        self._pos = lo
+        return self._start_pts + self._index[lo][2] if self._index else 0.0
+
+    def _decode_payload(self, data: bytes) -> VideoFrame:
+        w, h = self.width, self.height
+        if len(data) < self._expected:
+            raise MKVError(f"short frame payload ({len(data)} bytes, "
+                           f"need {self._expected})")
+        y = np.frombuffer(data, np.uint8, w * h).reshape(h, w)
+        if self._layout == "nv12":
+            uv = np.frombuffer(data, np.uint8, (h // 2) * w,
+                               w * h).reshape(h // 2, w)
+            uv = np.ascontiguousarray(uv)
+        else:
+            csz = (w // 2) * (h // 2)
+            u = np.frombuffer(data, np.uint8, csz, w * h).reshape(h // 2, w // 2)
+            v = np.frombuffer(data, np.uint8, csz, w * h + csz).reshape(h // 2, w // 2)
+            uv = np.empty((h // 2, w), np.uint8)
+            interleave_chroma_into(u, v, uv)
+        return VideoFrame(np.ascontiguousarray(y), uv, self.fmt,
+                          nominal_fps=self.fps)
+
+    def __iter__(self) -> Iterator[VideoFrame]:
+        while self._pos < len(self._index):
+            off, size, ts = self._index[self._pos]
+            self._pos += 1
+            self._fh.seek(off)
+            frame = self._decode_payload(self._fh.read(size))
+            frame.pts = self._start_pts + ts
+            yield frame
+
+    def close(self):
+        self._fh.close()

@@ -242,24 +242,176 @@ def blur_flow(offset, lh: int, lw: int):
     return jax.lax.div(acc, jnp.int32(ksz))   # trunc toward zero, like C
 
 
+def _pyramid_step_traced(geom: FlowGeometry, layers: int,
+                         radius_t, window_t, is_y_t, nb_t,
+                         off_x, off_y, f1y, f1u, f1v, f2_probe,
+                         delta_scalar, neighbor_bias_scalar,
+                         luma_shift: int):
+    """ONE pyramid (iteration, step) with the window size, step parity,
+    and neighbor flag all TRACED -- the lax.scan body of the scanned flow
+    program (see _flow_impl).  Bit-exact with the unrolled
+    _delta_sums_one_step/_commit_winner pair:
+
+    * the per-window block sum is computed through an inclusive integral
+      image + inclusion/exclusion -- uint32 addition/subtraction is exact
+      mod 2**32 regardless of association, so the wraparound semantics of
+      the reference's atomic adds (calcDeltaSumsKernel.cl:187) survive the
+      reassociation;
+    * each pixel reads ITS block's sum, so the per-layer argmin and the
+      signed-square commit happen per pixel with identical values per
+      block (no repeat/crop step needed).
+    """
+    rs, lh, lw = geom.res_scalar, geom.low_h, geom.low_w
+    H, W = geom.height, geom.stride
+    y2, u2, v2 = f2_probe
+
+    cyg, cxg = jnp.mgrid[0:lh, 0:lw]
+    scaled_cx = (cxg << rs).astype(jnp.int32)
+    scaled_cy = (cyg << rs).astype(jnp.int32)
+
+    z = jnp.arange(layers, dtype=jnp.int32)
+    radius_t = jnp.asarray(radius_t, jnp.int32)
+    rel = jnp.mod(z, radius_t) - radius_t // 2   # (cz % R) - R/2, cl:68
+    adj = jnp.where(rel > 0, rel * rel, -(rel * rel)).astype(jnp.int32)
+    adj = adj[:, None, None]
+
+    is_y = jnp.asarray(is_y_t, jnp.int32)
+    cand_x = off_x[None] + adj * (1 - is_y)
+    cand_y = off_y[None] + adj * is_y
+    probe = jnp.where(is_y == 1, cand_y, cand_x)
+    prev_plane = jnp.where(is_y == 1, off_y, off_x)
+
+    new_cx = mirror_inside(scaled_cx[None] + cand_x, W)
+    new_cy = mirror_inside(scaled_cy[None] + cand_y, H)
+
+    y1 = _gather(f1y, new_cy, new_cx).astype(jnp.int32)
+    u1 = _gather(f1u, new_cy >> 1, new_cx >> 1).astype(jnp.int32)
+    v1 = _gather(f1v, new_cy >> 1, new_cx >> 1).astype(jnp.int32)
+
+    delta = (jnp.abs(y1 - y2[None]) + jnp.abs(u1 - u2[None])
+             + jnp.abs(v1 - v2[None])).astype(jnp.uint32)
+    if luma_shift:
+        delta = delta >> np.uint32(luma_shift)
+    delta = delta << delta_scalar.astype(jnp.uint32)
+
+    offset_bias = jnp.abs(probe).astype(jnp.uint32)
+
+    # neighbor bias at +-2*window, clamped (traced shift -> clamped gather)
+    w2 = 2 * jnp.asarray(window_t, jnp.int32)
+    xs = jnp.arange(lw, dtype=jnp.int32)
+    ys = jnp.arange(lh, dtype=jnp.int32)
+    nb = jnp.zeros((layers, lh, lw), jnp.uint32)
+    for sign in (1, -1):
+        nx = jnp.clip(xs + sign * w2, 0, lw - 1)
+        n_off = prev_plane[:, nx]
+        nb = nb + jnp.abs(n_off[None] - probe).astype(jnp.uint32)
+        ny = jnp.clip(ys + sign * w2, 0, lh - 1)
+        n_off = prev_plane[ny, :]
+        nb = nb + jnp.abs(n_off[None] - probe).astype(jnp.uint32)
+    neighbor_bias = (nb << neighbor_bias_scalar.astype(jnp.uint32)) \
+        * nb_t.astype(jnp.uint32)
+
+    partial = delta + offset_bias + neighbor_bias   # uint32 wraparound
+
+    # per-window block sums via inclusive integral image (traced window)
+    ii = jnp.cumsum(jnp.cumsum(partial, axis=1, dtype=jnp.uint32),
+                    axis=2, dtype=jnp.uint32)
+    ii = jnp.pad(ii, ((0, 0), (1, 0), (1, 0)))      # leading zero row/col
+    w_t = jnp.asarray(window_t, jnp.int32)
+    by0 = (cyg // w_t) * w_t
+    bx0 = (cxg // w_t) * w_t
+    by1 = jnp.minimum(by0 + w_t, lh)                # exclusive ends
+    bx1 = jnp.minimum(bx0 + w_t, lw)
+    flat = ii.reshape(layers, -1)
+    stride = lw + 1
+
+    def corner(yy, xx):
+        return jnp.take(flat, (yy * stride + xx).reshape(-1), axis=1,
+                        mode="clip").reshape(layers, lh, lw)
+
+    sums = (corner(by1, bx1) - corner(by0, bx1)
+            - corner(by1, bx0) + corner(by0, bx0))
+
+    invalid = (z >= radius_t)[:, None, None]
+    sums = jnp.where(invalid, jnp.uint32(0xFFFFFFFF), sums)
+
+    # determineLowestLayer + adjustOffsetArray, per pixel
+    lowest = jnp.argmin(sums, axis=0).astype(jnp.int32)   # first minimum
+    rel2 = jnp.mod(lowest, radius_t) - radius_t // 2
+    adj2 = jnp.where(rel2 > 0, rel2 * rel2, -(rel2 * rel2))
+    off_x = off_x + adj2 * (1 - is_y)
+    off_y = off_y + adj2 * is_y
+    return off_x, off_y
+
+
+def _flow_impl_scan(geom: FlowGeometry, radius, luma_shift: int,
+                    f1y, f1u, f1v, f2y, f2u, f2v,
+                    delta_scalar, neighbor_bias_scalar, layers: int):
+    """The pyramid as ONE lax.scan over (iteration, step) pairs: the HLO
+    contains a single step body instead of 2*iterations unrolled copies,
+    which cuts cold-start compile time by ~an order of magnitude (the
+    remote XLA compile is super-linear in program size).  Output is
+    bit-exact with the unrolled form (see _pyramid_step_traced)."""
+    lh, lw = geom.low_h, geom.low_w
+    f2_probe = _subsampled_f2(geom, f2y, f2u, f2v)
+
+    windows, parities, nb_flags = [], [], []
+    for it, w in enumerate(geom.window_schedule()):
+        for step in (0, 1):
+            windows.append(w)
+            parities.append(step)
+            nb_flags.append(1 if it >= FIRST_NEIGHBOR_ITERATION else 0)
+    xs = (jnp.asarray(windows, jnp.int32),
+          jnp.asarray(parities, jnp.int32),
+          jnp.asarray(nb_flags, jnp.uint32))
+
+    def body(carry, x):
+        off_x, off_y = carry
+        w_t, isy_t, nb_t = x
+        off_x, off_y = _pyramid_step_traced(
+            geom, layers, radius, w_t, isy_t, nb_t, off_x, off_y,
+            f1y, f1u, f1v, f2_probe, delta_scalar, neighbor_bias_scalar,
+            luma_shift)
+        return (off_x, off_y), None
+
+    init = (jnp.zeros((lh, lw), jnp.int32), jnp.zeros((lh, lw), jnp.int32))
+    (off_x, off_y), _ = jax.lax.scan(body, init, xs)
+    return off_x, off_y
+
+
+# program form for the pyramid: "scan" (one traced step body, fast
+# compile) or "unroll" (2*iterations inlined stages).  Both are bit-exact;
+# scan is the default for its cold-start time (see ARCHITECTURE §3).
+# Overridable for measurement via MFI_FLOW_PROGRAM.
+import os as _os
+FLOW_PROGRAM = _os.environ.get("MFI_FLOW_PROGRAM", "scan")
+
+
 def _flow_impl(geom: FlowGeometry, radius, luma_shift: int,
                f1y, f1u, f1v, f2y, f2u, f2v,
                delta_scalar, neighbor_bias_scalar,
-               pallas_blur: bool = False, layers: int = None):
+               pallas_blur: bool = False, layers: int = None,
+               program: str = None):
     lh, lw = geom.low_h, geom.low_w
-    off_x = jnp.zeros((lh, lw), jnp.int32)
-    off_y = jnp.zeros((lh, lw), jnp.int32)
-    f2_probe = _subsampled_f2(geom, f2y, f2u, f2v)
+    program = program or FLOW_PROGRAM
 
-    for iteration, window in enumerate(geom.window_schedule()):
-        for step in (0, 1):
-            sums = _delta_sums_one_step(
-                geom, window, iteration, step, radius,
-                off_x, off_y, f1y, f1u, f1v, f2_probe,
-                delta_scalar, neighbor_bias_scalar, luma_shift,
-                layers=layers)
-            off_x, off_y = _commit_winner(geom, window, step, radius,
-                                          off_x, off_y, sums)
+    if program == "scan" and layers is not None:
+        off_x, off_y = _flow_impl_scan(
+            geom, radius, luma_shift, f1y, f1u, f1v, f2y, f2u, f2v,
+            delta_scalar, neighbor_bias_scalar, layers)
+    else:
+        off_x = jnp.zeros((lh, lw), jnp.int32)
+        off_y = jnp.zeros((lh, lw), jnp.int32)
+        f2_probe = _subsampled_f2(geom, f2y, f2u, f2v)
+        for iteration, window in enumerate(geom.window_schedule()):
+            for step in (0, 1):
+                sums = _delta_sums_one_step(
+                    geom, window, iteration, step, radius,
+                    off_x, off_y, f1y, f1u, f1v, f2_probe,
+                    delta_scalar, neighbor_bias_scalar, luma_shift,
+                    layers=layers)
+                off_x, off_y = _commit_winner(geom, window, step, radius,
+                                              off_x, off_y, sums)
 
     offset = jnp.stack([off_x, off_y])
     if pallas_blur:

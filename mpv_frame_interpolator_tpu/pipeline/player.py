@@ -175,8 +175,7 @@ class Pipeline:
         nominal; vo.c:416-450 uses the same idea with stricter windows).
         Untimed runs never adapt (flip intervals are meaningless)."""
         pc = self.present
-        if (not self.adapt_display_rate or pc.untimed
-                or pc.presented % 128 != 0 or pc.presented < 128):
+        if not self.adapt_display_rate or pc.untimed or pc.presented < 128:
             return
         est = pc.estimated_display_fps()
         nominal = pc.display_fps
