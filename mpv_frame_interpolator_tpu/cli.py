@@ -62,7 +62,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "or FrameOutput integer 0-6 (vf_HopperRender.c:21)")
     p.add_argument("--speed", type=float, default=1.0, help="playback speed")
     p.add_argument("--model", default="hopper",
-                   help="interpolator family: hopper|hopperx|hopperq|blend|repeat")
+                   help="interpolator family: "
+                        "hopper|hopperx|hopperq|hopperxq|blend|repeat")
     p.add_argument("--search-radius", type=int, default=5,
                    help="initial optical-flow search radius [5..16]")
     p.add_argument("--no-auto-quality", action="store_true",
@@ -87,6 +88,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ipc-server", default="",
                    help="serve JSON IPC on this unix socket path "
                         "(mpv --input-ipc-server analog)")
+    p.add_argument("--cache", default="auto", choices=("auto", "yes", "no"),
+                   help="seekable frame cache over unseekable inputs "
+                        "(stdin/pipes; demuxer-cache analog). auto = only "
+                        "when the source cannot seek by itself")
     p.add_argument("--ingest", default="auto",
                    choices=("auto", "native", "python"),
                    help="y4m file ingest path: the C++ demuxer ring with "
@@ -190,6 +195,13 @@ def main(argv=None) -> int:
             raise SystemExit(f"unknown mode {args.mode!r}")
 
     source, width, height = make_source(args)
+
+    src_seekable = (hasattr(source, "seek_pts")
+                    and getattr(source, "seekable", lambda: False)())
+    if args.cache == "yes" or (args.cache == "auto" and not src_seekable):
+        from mpv_frame_interpolator_tpu.io.cache import CachedSource
+        source = CachedSource(source)
+        log.info("seekable frame cache enabled (demuxer-cache analog)")
 
     config = EngineConfig(
         display_fps=args.display_fps,

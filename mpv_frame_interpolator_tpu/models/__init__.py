@@ -16,6 +16,10 @@ engine can swap families:
              reference rounds warp positions to whole pixels
              (warpFrameKernel.cl:165-168); hopperq reconstructs fractional
              motion, measurably raising fidelity on smooth pans.
+  hopperxq -- hopperq + hopperx combined: sub-pixel sampling with
+             occlusion-aware blending on top -- the premium quality
+             family (fractional motion everywhere, no cross-fade ghosts
+             at occlusion boundaries).
   blend   -- zero-flow cross-fade (what BlendedFrame degenerates to with a
              null flow field); cheap fallback under load
   repeat  -- nearest-source snap (classic player cadence without
@@ -27,7 +31,7 @@ warp's levels/output-mode semantics and cost almost nothing extra to
 compile.
 """
 
-MODELS = ("hopper", "hopperx", "hopperq", "blend", "repeat")
+MODELS = ("hopper", "hopperx", "hopperq", "hopperxq", "blend", "repeat")
 
 
 def validate(name: str) -> str:

@@ -300,6 +300,12 @@ def _warp_sample(geom: FlowGeometry, mode: int, scale_shift: int, dtype,
         s21q = _bilinear_sample(f2y, p21y, p21x, H, Wa).astype(jnp.float32)
         val = (s12q * fs21 + s21q * fs12) * np.float32(1.0 / 4096.0)
         blended = jnp.floor(val + 0.5).astype(jnp.int32)
+        if occlusion_aware:      # hopperxq: sub-pixel + occlusion handling
+            k = np.float32(1.0 / 4096.0)
+            s12i = jnp.floor(s12q * k + 0.5).astype(jnp.int32)
+            s21i = jnp.floor(s21q * k + 0.5).astype(jnp.int32)
+            blended = _occlusion_adjust(blended, s12i, s21i, fs12,
+                                        scale_shift)
         out_y = _levels_y(blended, black, white, scale_shift)
     else:
         s12 = _gather(f1y, ncy12, ncx12)
@@ -351,12 +357,20 @@ def _warp_sample(geom: FlowGeometry, mode: int, scale_shift: int, dtype,
             return _bilinear_sample(plane, py[:, par::2], px[:, par::2],
                                     hc, wc).astype(jnp.float32)
 
-        bu = jnp.floor((bsamp(f1u, p12y, p12x, 0) * fs21
-                        + bsamp(f2u, p21y, p21x, 0) * fs12)
-                       * np.float32(1.0 / 4096.0) + 0.5).astype(jnp.int32)
-        bv = jnp.floor((bsamp(f1v, p12y, p12x, 1) * fs21
-                        + bsamp(f2v, p21y, p21x, 1) * fs12)
-                       * np.float32(1.0 / 4096.0) + 0.5).astype(jnp.int32)
+        k = np.float32(1.0 / 4096.0)
+        bu12, bu21 = bsamp(f1u, p12y, p12x, 0), bsamp(f2u, p21y, p21x, 0)
+        bv12, bv21 = bsamp(f1v, p12y, p12x, 1), bsamp(f2v, p21y, p21x, 1)
+        bu = jnp.floor((bu12 * fs21 + bu21 * fs12) * k + 0.5).astype(jnp.int32)
+        bv = jnp.floor((bv12 * fs21 + bv21 * fs12) * k + 0.5).astype(jnp.int32)
+        if occlusion_aware:      # hopperxq
+            bu = _occlusion_adjust(
+                bu, jnp.floor(bu12 * k + 0.5).astype(jnp.int32),
+                jnp.floor(bu21 * k + 0.5).astype(jnp.int32), fs12,
+                scale_shift)
+            bv = _occlusion_adjust(
+                bv, jnp.floor(bv12 * k + 0.5).astype(jnp.int32),
+                jnp.floor(bv21 * k + 0.5).astype(jnp.int32), fs12,
+                scale_shift)
         out_u = _levels_uv(bu, white, scale_shift)
         out_v = _levels_uv(bv, white, scale_shift)
     else:

@@ -20,7 +20,7 @@ from typing import Iterable, List, Optional, Sequence
 import jax
 import jax.numpy as jnp
 
-from mpv_frame_interpolator_tpu.frame import FrameFormat, VideoFrame, split_chroma
+from mpv_frame_interpolator_tpu.frame import FrameFormat, VideoFrame
 from mpv_frame_interpolator_tpu.ops.flow import FlowGeometry
 from mpv_frame_interpolator_tpu.pipeline.cadence import CadenceEngine
 from mpv_frame_interpolator_tpu.pipeline.engine import (
@@ -66,9 +66,9 @@ class PairParallelPool:
         self.cadence.reset()
 
     def _planes_on(self, frame: VideoFrame, dev: jax.Device):
-        u, v = split_chroma(frame.uv)
-        return (jax.device_put(frame.y, dev), jax.device_put(u, dev),
-                jax.device_put(v, dev))
+        # interleaved chroma uploads whole; the fused program splits it
+        return (jax.device_put(frame.y, dev),
+                jax.device_put(frame.uv, dev))
 
     def push(self, frame: VideoFrame) -> List[OutputFrame]:
         self._ensure_geometry(frame)

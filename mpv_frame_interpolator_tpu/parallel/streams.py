@@ -43,7 +43,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mpv_frame_interpolator_tpu.frame import FrameFormat, VideoFrame, split_chroma
+from mpv_frame_interpolator_tpu.frame import FrameFormat, VideoFrame
 from mpv_frame_interpolator_tpu.ops.flow import FlowGeometry
 from mpv_frame_interpolator_tpu.pipeline.engine import (
     EngineConfig, InterpolationEngine, OutputFrame, _make_source_step)
@@ -60,14 +60,12 @@ def _make_batched_step(geom: FlowGeometry, mode: int, scale_shift: int,
     base = _make_source_step(geom, mode, scale_shift, cut_policy,
                              scene_enabled, model)
 
-    def one(f1y, f1u, f1v, f2y, f2u, f2v, ts, radius, ds, nbs, black,
-            white, thr):
-        return base(f1y, f1u, f1v, f2y, f2u, f2v, ts, radius, ds, nbs,
+    def one(f1y, f1uv, f2y, f2uv, ts, radius, ds, nbs, black, white, thr):
+        return base(f1y, f1uv, f2y, f2uv, ts, radius, ds, nbs,
                     black, white, thr)
 
     return jax.jit(jax.vmap(
-        one, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None, None, None, None,
-                      None)))
+        one, in_axes=(0, 0, 0, 0, 0, 0, None, None, None, None, None)))
 
 
 class MultiStreamEngine:
@@ -77,9 +75,13 @@ class MultiStreamEngine:
         self.n = n_streams
         self.batch_dispatch = batch_dispatch
         # one full engine per stream: per-instance cadence/quality/scene/
-        # stats, like K instances of the reference filter
+        # stats, like K instances of the reference filter.  Background
+        # precompile is disabled per stream -- the compiled programs are
+        # process-wide, so K warm threads would be redundant AND suppress
+        # K streams' quality measurements at once.
         self.engines: List[InterpolationEngine] = [
-            InterpolationEngine(dataclasses.replace(self.config))
+            InterpolationEngine(dataclasses.replace(
+                self.config, background_precompile=False))
             for _ in range(n_streams)]
         self.geom: Optional[FlowGeometry] = None
         self._fmt: Optional[FrameFormat] = None
@@ -121,8 +123,9 @@ class MultiStreamEngine:
 
     @staticmethod
     def _planes(frame: VideoFrame):
-        u, v = split_chroma(frame.uv)
-        return (jnp.asarray(frame.y), jnp.asarray(u), jnp.asarray(v))
+        # interleaved chroma goes to the device whole; the fused program
+        # splits it (engine._DeviceFrame rationale)
+        return (jnp.asarray(frame.y), jnp.asarray(frame.uv))
 
     def push_batch(self, frames: Sequence[Optional[VideoFrame]]
                    ) -> Dict[int, List[OutputFrame]]:
@@ -189,8 +192,8 @@ class MultiStreamEngine:
                                   self.config.model)
         t0 = time.perf_counter()
         y, uv, _, cut_scores = step(
-            *(jnp.stack([b[2][k] for b in batch]) for k in range(3)),
-            *(jnp.stack([b[3][k] for b in batch]) for k in range(3)),
+            *(jnp.stack([b[2][k] for b in batch]) for k in range(2)),
+            *(jnp.stack([b[3][k] for b in batch]) for k in range(2)),
             jnp.asarray(ts), jnp.asarray(radius),
             jnp.int32(self.config.delta_scalar),
             jnp.int32(self.config.neighbor_bias_scalar),

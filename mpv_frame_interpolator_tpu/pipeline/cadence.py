@@ -178,7 +178,15 @@ class CadenceEngine:
                           inconsistent_detected=inconsistent_detected)
 
     def _advance_blend(self):
-        """vf_HopperRender.c:371-374."""
+        """vf_HopperRender.c:371-374.
+
+        Reference-exact float accumulation, including its wrap artifact:
+        at exact integer display/source ratios whose step is not binary-
+        representable (e.g. 6->60, step 0.1), N accumulated steps can land
+        just BELOW 1.0, missing the wrap; the next pair then plans ~1
+        output and the pts-drift fallback re-anchors.  24->60 (0.4) and
+        30->60 (0.5) are unaffected.  Kept as-is deliberately: the
+        reference computes the same float recurrence."""
         self.blending_scalar += self.target_frame_time / self.source_frame_time
         if self.blending_scalar >= 1.0:
             self.blending_scalar -= 1.0

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mpv_frame_interpolator_tpu.frame import (
-    FrameFormat, VideoFrame, NV12, split_chroma)
+    FrameFormat, VideoFrame, NV12)
 from mpv_frame_interpolator_tpu.ops.flow import FlowGeometry
 from mpv_frame_interpolator_tpu.ops import warp as warp_ops
 from mpv_frame_interpolator_tpu.pipeline.cadence import (
@@ -41,6 +41,29 @@ from mpv_frame_interpolator_tpu.pipeline.scene import SceneChangeDetector
 from mpv_frame_interpolator_tpu.utils import get_logger, StatsRegistry
 
 log = get_logger("engine")
+
+# Background-precompile thread registry: XLA must not be mid-compile on a
+# daemon thread when the interpreter tears down (pthread cancellation
+# aborts with "FATAL: exception not rethrown").  The atexit hook asks the
+# threads to stop between batch sizes and joins the in-flight one.
+_warm_threads = []
+_warm_shutdown = None
+
+
+def _register_warm_thread(t):
+    global _warm_shutdown
+    import atexit
+    import threading
+    if _warm_shutdown is None:
+        _warm_shutdown = threading.Event()
+
+        def _drain():
+            _warm_shutdown.set()
+            for th in _warm_threads:
+                th.join(timeout=120.0)
+
+        atexit.register(_drain)
+    _warm_threads.append(t)
 
 
 @dataclasses.dataclass
@@ -63,7 +86,13 @@ class EngineConfig:
     num_iterations: int = 0                          # config.h:4
     measure_timing: bool = True                      # feed quality controller
     playback_speed: float = 1.0
-    precompile: bool = False         # compile all search radii at init
+    precompile: bool = False         # compile all batch sizes at init
+    # compile the OTHER plausible warp-batch sizes on a background thread
+    # right after the first frame is out, so a cold cache stalls playback
+    # once, not once per batch size (the 24->60 cadence alternates 2/3
+    # outputs per pair -> two programs).  Measurements taken while the
+    # background compile is executing are discarded (device contention).
+    background_precompile: bool = True
     # persistent jit cache; measured 133s -> 11s cold starts on the axon
     # TPU for the 1080p flow program ("" disables)
     compilation_cache_dir: str = "~/.cache/mfi_tpu/jax"
@@ -142,9 +171,12 @@ class OutputFrame:
 
 @dataclasses.dataclass
 class _DeviceFrame:
+    """Device-resident source frame: luma + INTERLEAVED chroma.  The
+    u/v split happens inside the fused program (one traced slice each,
+    fused by XLA) -- splitting on the host costs two extra device
+    dispatches per frame (~10 ms through the sandbox relay)."""
     y: jax.Array
-    u: jax.Array
-    v: jax.Array
+    uv: jax.Array
 
 
 def _flow_stage(geom, scale_shift, scene_enabled, model, pallas_blur,
@@ -160,7 +192,7 @@ def _flow_stage(geom, scale_shift, scene_enabled, model, pallas_blur,
     else:
         cut_score = jnp.float32(0.0)
 
-    if model in ("hopper", "hopperx", "hopperq"):
+    if model in ("hopper", "hopperx", "hopperq", "hopperxq"):
         _, blurred = _flow_impl(geom, radius, scale_shift,
                                 f1y, f1u, f1v, f2y, f2u, f2v,
                                 ds, nbs, layers=MAX_SEARCH_RADIUS,
@@ -206,8 +238,8 @@ def _warp_stage(geom, mode, scale_shift, cut_policy, scene_enabled, model,
             return warp_ops._warp_sample(
                 geom, mode, scale_shift, dtype,
                 f1y, f1u, f1v, f2y, f2u, f2v, fields, t, black, white,
-                occlusion_aware=(model == "hopperx"),
-                bilinear=(model == "hopperq"))
+                occlusion_aware=(model in ("hopperx", "hopperxq")),
+                bilinear=(model in ("hopperq", "hopperxq")))
         y, u, v = jax.vmap(one)(ts_w)
     n, hc, wc = u.shape
     uv = jnp.stack((u, v), axis=3).reshape(n, hc, wc * 2)
@@ -230,8 +262,10 @@ def _make_source_step(geom: FlowGeometry, mode: int,
     The search radius is traced (masked layers, ops/flow.py), so the
     quality controller's radius changes never recompile."""
 
-    def step(f1y, f1u, f1v, f2y, f2u, f2v, ts, radius, ds, nbs, black,
+    def step(f1y, f1uv, f2y, f2uv, ts, radius, ds, nbs, black,
              white, scene_threshold):
+        f1u, f1v = f1uv[:, 0::2], f1uv[:, 1::2]
+        f2u, f2v = f2uv[:, 0::2], f2uv[:, 1::2]
         blurred, cut_score = _flow_stage(
             geom, scale_shift, scene_enabled, model, pallas_blur,
             f1y, f1u, f1v, f2y, f2u, f2v, radius, ds, nbs, scene_threshold)
@@ -249,8 +283,9 @@ def _make_flow_step(geom: FlowGeometry, scale_shift: int,
                     scene_enabled: bool, model: str, pallas_blur: bool):
     """Flow-only program for split-timing (opticalFlowCalc.c:111-122
     OFC-event analog).  Same traced code as the fused step's first half."""
-    def step(f1y, f1u, f1v, f2y, f2u, f2v, radius, ds, nbs,
-             scene_threshold):
+    def step(f1y, f1uv, f2y, f2uv, radius, ds, nbs, scene_threshold):
+        f1u, f1v = f1uv[:, 0::2], f1uv[:, 1::2]
+        f2u, f2v = f2uv[:, 0::2], f2uv[:, 1::2]
         return _flow_stage(geom, scale_shift, scene_enabled, model,
                            pallas_blur, f1y, f1u, f1v, f2y, f2u, f2v,
                            radius, ds, nbs, scene_threshold)
@@ -262,8 +297,10 @@ def _make_warp_step(geom: FlowGeometry, mode: int, scale_shift: int,
                     cut_policy: str, scene_enabled: bool, model: str):
     """Warp-only program for split-timing (opticalFlowCalc.c:192-201
     warp-event analog).  Same traced code as the fused step's second half."""
-    def step(f1y, f1u, f1v, f2y, f2u, f2v, blurred, cut_score, ts, black,
+    def step(f1y, f1uv, f2y, f2uv, blurred, cut_score, ts, black,
              white, scene_threshold):
+        f1u, f1v = f1uv[:, 0::2], f1uv[:, 1::2]
+        f2u, f2v = f2uv[:, 0::2], f2uv[:, 1::2]
         return _warp_stage(geom, mode, scale_shift, cut_policy,
                            scene_enabled, model, f1y, f1u, f1v, f2y, f2u,
                            f2v, blurred, cut_score, ts, black, white,
@@ -304,6 +341,9 @@ class InterpolationEngine:
         # split flow/warp telemetry state (see EngineConfig.split_timing)
         self._split_wanted = self.config.split_timing == "always"
         self._split_cache = {}   # (radius, mode, n, model) -> (flow, warp)
+        self._bg_started = False
+        self._bg_active = False
+        self._scalar_cache = {}
         if self.config.compilation_cache_dir:
             import os as _os
             jax.config.update(
@@ -340,10 +380,47 @@ class InterpolationEngine:
         self._prev = None
         self._cur = None
         self._warm = set()
+        self._bg_started = False
         self.cadence.reset()
         log.info("flow geometry: %s (pixfmt=%s)", self.geom, fmt.pixfmt)
         if self.config.precompile:
             self._precompile()
+
+    def _plausible_batch_sizes(self):
+        """Batch sizes the current display/source ratio can produce."""
+        ratio = max(self.cadence.target_frame_time
+                    / self.cadence.source_frame_time, 1e-6)
+        base_n = max(int(np.ceil(1.0 / ratio)), 1)
+        return {1, base_n, max(base_n - 1, 1), base_n + 1}
+
+    def _warm_batch_sizes(self, sizes) -> int:
+        """Execute the fused step once per still-cold batch size (zeros
+        input): populates the jit + persistent compile caches."""
+        h, w = self.geom.height, self.geom.stride
+        dt = np.uint16 if self._scale_shift else np.uint8
+        zy = jnp.zeros((h, w), dt)
+        zuv = jnp.zeros((h // 2, w), dt)
+        step = _make_source_step(self.geom, self.frame_output_mode,
+                                 self._scale_shift, self.config.cut_policy,
+                                 self.scene.enabled, self.config.model,
+                                 self.config.pallas_blur)
+        warmed = 0
+        for n in sorted(sizes):
+            if _warm_shutdown is not None and _warm_shutdown.is_set():
+                break
+            spec = (self.frame_output_mode, n, self.config.model)
+            if spec in self._warm:
+                continue
+            out = step(zy, zuv, zy, zuv,
+                       jnp.zeros((n,), jnp.float32),
+                       jnp.int32(self.quality.search_radius),
+                       jnp.int32(8), jnp.int32(6),
+                       jnp.float32(0.0), jnp.float32(255.0),
+                       jnp.float32(self.scene.threshold))
+            jax.block_until_ready(out[0])
+            self._warm.add(spec)
+            warmed += 1
+        return warmed
 
     def _precompile(self):
         """Compile the plausible batch-size specializations up front so the
@@ -351,33 +428,38 @@ class InterpolationEngine:
         builds its kernels once at init, opticalFlowCalc.c:404-408).  The
         search radius is traced, so one program per batch size covers all
         radii."""
-        h, w = self.geom.height, self.geom.stride
-        dt = np.uint16 if self._scale_shift else np.uint8
-        zy = jnp.zeros((h, w), dt)
-        zc = jnp.zeros((h // 2, w // 2), dt)
         t0 = time.perf_counter()
-        # plausible batch sizes for the current display/source ratio
-        ratio = max(self.cadence.target_frame_time
-                    / self.cadence.source_frame_time, 1e-6)
-        base_n = max(int(np.ceil(1.0 / ratio)), 1)
-        sizes = {1, base_n, max(base_n - 1, 1), base_n + 1}
-        step = _make_source_step(self.geom, self.frame_output_mode,
-                                 self._scale_shift, self.config.cut_policy,
-                                 self.scene.enabled, self.config.model,
-                                 self.config.pallas_blur)
-        last = None
-        for n in sizes:
-            last = step(zy, zc, zc, zy, zc, zc,
-                        jnp.zeros((n,), jnp.float32),
-                        jnp.int32(self.quality.search_radius),
-                        jnp.int32(8), jnp.int32(6),
-                        jnp.float32(0.0), jnp.float32(255.0),
-                        jnp.float32(self.scene.threshold))
-            self._warm.add((self.frame_output_mode, n, self.config.model))
-        if last is not None:
-            jax.block_until_ready(last[0])
+        n = self._warm_batch_sizes(self._plausible_batch_sizes())
         log.info("precompiled %d batch sizes (all radii shared) in %.1fs",
-                 len(sizes), time.perf_counter() - t0)
+                 n, time.perf_counter() - t0)
+
+    def _start_background_precompile(self):
+        """After the first frame is delivered, warm the REMAINING batch
+        sizes on a daemon thread so a cold cache stalls playback once, not
+        once per batch size.  Timing measurements taken while this runs
+        are discarded (push checks _bg_active)."""
+        if (self._bg_started or not self.config.background_precompile
+                or self.geom is None):
+            return
+        self._bg_started = True
+        import threading
+
+        def work():
+            self._bg_active = True
+            try:
+                t0 = time.perf_counter()
+                n = self._warm_batch_sizes(self._plausible_batch_sizes())
+                if n:
+                    log.info("background-precompiled %d batch sizes in "
+                             "%.1fs", n, time.perf_counter() - t0)
+            except Exception:   # never kill playback from the warm thread
+                log.exception("background precompile failed")
+            finally:
+                self._bg_active = False
+
+        t = threading.Thread(target=work, daemon=True)
+        _register_warm_thread(t)
+        t.start()
 
     def stage(self, frame: VideoFrame) -> VideoFrame:
         """Start the async host->HBM copy for a frame and return a frame
@@ -405,9 +487,16 @@ class InterpolationEngine:
         return dataclasses.replace(frame, y=y, uv=uv, recycle=None)
 
     def _upload(self, frame: VideoFrame) -> _DeviceFrame:
-        u, v = split_chroma(frame.uv)
-        return _DeviceFrame(jnp.asarray(frame.y), jnp.asarray(u),
-                            jnp.asarray(v))
+        return _DeviceFrame(jnp.asarray(frame.y), jnp.asarray(frame.uv))
+
+    def _dev_scalar(self, name: str, value, ctor):
+        """Cached device scalar: knobs change rarely, so re-uploading them
+        every push wastes a host->device dispatch each."""
+        ent = self._scalar_cache.get(name)
+        if ent is None or ent[0] != value:
+            ent = (value, ctor(value))
+            self._scalar_cache[name] = ent
+        return ent[1]
 
     def _out_fmt(self) -> FrameFormat:
         # colorimetry passes through untouched (mp_image_copy_attributes
@@ -457,13 +546,15 @@ class InterpolationEngine:
 
         out_fmt = self._out_fmt()
         ts = jnp.asarray([slot.blend for slot in plan.outputs], jnp.float32)
-        args = (f1.y, f1.u, f1.v, f2.y, f2.u, f2.v)
-        knobs = (jnp.int32(self.quality.search_radius),
-                 jnp.int32(self.delta_scalar),
-                 jnp.int32(self.neighbor_bias_scalar))
-        levels = (jnp.float32(self.black_level),
-                  jnp.float32(self.white_level))
-        thr = jnp.float32(self.scene.threshold)
+        args = (f1.y, f1.uv, f2.y, f2.uv)
+        knobs = (self._dev_scalar("radius", self.quality.search_radius,
+                                  jnp.int32),
+                 self._dev_scalar("ds", self.delta_scalar, jnp.int32),
+                 self._dev_scalar("nbs", self.neighbor_bias_scalar,
+                                  jnp.int32))
+        levels = (self._dev_scalar("black", self.black_level, jnp.float32),
+                  self._dev_scalar("white", self.white_level, jnp.float32))
+        thr = self._dev_scalar("thr", self.scene.threshold, jnp.float32)
 
         if self.config.split_timing == "always":
             # reference-authentic two-dispatch mode: flow and warp are
@@ -489,7 +580,7 @@ class InterpolationEngine:
             if dur is None:
                 outputs[-1].block()
                 dur = time.perf_counter() - t0
-            if was_warm:
+            if was_warm and not self._bg_active:
                 self._last_calc_duration = dur
                 self.stats.add("source_frame_time", dur)
                 if self.config.stats_log_path:
@@ -511,6 +602,7 @@ class InterpolationEngine:
                 self._last_calc_duration = 0.0
             self.stats.add("outputs", len(outputs))
         self._warm.add(spec_key)
+        self._start_background_precompile()
         return outputs
 
     # -- split flow/warp timing (see EngineConfig.split_timing) ----------

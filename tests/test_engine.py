@@ -16,6 +16,9 @@ def make_engine(**kw):
     kw.setdefault("scene_detection", False)
     kw.setdefault("auto_quality", False)
     kw.setdefault("measure_timing", False)
+    # deterministic timing in tests: no concurrent warm thread discarding
+    # measurements (engine suppresses timings while it runs)
+    kw.setdefault("background_precompile", False)
     return InterpolationEngine(EngineConfig(**kw))
 
 

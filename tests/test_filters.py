@@ -78,3 +78,71 @@ class TestFiltersP010:
         out = rotate(90)(vflip()(crop(32, 16, 8, 4)(f16)))
         assert out.y.dtype.itemsize == 2
         assert (out.fmt.width, out.fmt.height) == (16, 32)
+
+
+class TestScale:
+    def test_downscale_geometry_and_content(self, small_cfg):
+        from mpv_frame_interpolator_tpu.io.filters import scale
+        import numpy as np
+        f = next(iter(synthetic.moving_box(small_cfg, 1)))
+        out = scale(32, 24)(f)
+        assert (out.fmt.width, out.fmt.height) == (32, 24)
+        assert out.uv.shape == (12, 32)
+        # mean brightness is preserved by a resize
+        assert abs(float(out.y.mean()) - float(f.y.mean())) < 3.0
+
+    def test_upscale_identity_on_flat(self, small_cfg):
+        from mpv_frame_interpolator_tpu.io.filters import scale
+        import numpy as np
+        from mpv_frame_interpolator_tpu.frame import FrameFormat, VideoFrame
+        fmt = FrameFormat(16, 16)
+        f = VideoFrame(np.full((16, 16), 77, np.uint8),
+                       np.full((8, 16), 128, np.uint8), fmt)
+        out = scale(64, 64)(f)
+        assert (out.y == 77).all() and (out.uv == 128).all()
+
+    def test_keep_aspect(self, small_cfg):
+        from mpv_frame_interpolator_tpu.io.filters import scale
+        f = next(iter(synthetic.moving_box(small_cfg, 1)))   # 64x48
+        out = scale(32, -2)(f)
+        assert (out.fmt.width, out.fmt.height) == (32, 24)
+
+    def test_parse_chain_scale(self):
+        from mpv_frame_interpolator_tpu.io.filters import parse_chain
+        assert len(parse_chain("scale=128:96")) == 1
+
+    def test_odd_geometry_rejected(self):
+        from mpv_frame_interpolator_tpu.io.filters import scale
+        import pytest
+        with pytest.raises(ValueError):
+            scale(33, 24)
+
+
+class TestDeinterlace:
+    def test_bob_doubles_rate_and_preserves_fields(self, small_cfg):
+        from mpv_frame_interpolator_tpu.io.filters import deinterlace
+        import numpy as np
+        f = next(iter(synthetic.moving_box(small_cfg, 1)))
+        out = deinterlace("bob")(f)
+        assert len(out) == 2
+        top, bottom = out
+        np.testing.assert_array_equal(top.y[0::2], f.y[0::2])
+        np.testing.assert_array_equal(bottom.y[1::2], f.y[1::2])
+        assert top.pts == f.pts
+        assert bottom.pts > top.pts
+        assert top.nominal_fps == f.nominal_fps * 2
+        assert top.fmt.height == f.fmt.height
+
+    def test_weave_passthrough(self, small_cfg):
+        from mpv_frame_interpolator_tpu.io.filters import deinterlace
+        f = next(iter(synthetic.moving_box(small_cfg, 1)))
+        assert deinterlace("weave")(f) is f
+
+    def test_chain_through_pipeline(self, small_cfg):
+        from mpv_frame_interpolator_tpu.io.filters import (apply_chain,
+                                                           parse_chain)
+        frames = list(synthetic.moving_box(small_cfg, 4))
+        chain = parse_chain("deinterlace=bob,scale=32:24")
+        out = list(apply_chain(chain, iter(frames)))
+        assert len(out) == 8
+        assert out[0].fmt.width == 32

@@ -295,3 +295,52 @@ class TestHopperQChroma:
         p_near = psnr_arrays(render(), gt_u, 255)
         p_bilin = psnr_arrays(render(bilinear=True), gt_u, 255)
         assert p_bilin > p_near + 2.0, (p_near, p_bilin)
+
+
+class TestHopperXQ:
+    """hopperxq = hopperq (sub-pixel) + hopperx (occlusion-aware blend)."""
+
+    def test_engine_runs_and_differs_from_parents(self, small_cfg):
+        import numpy as np
+        # smooth gradient: sub-pixel sampling measurably differs from
+        # nearest (a piecewise-constant scene would alias them)
+        frames = list(synthetic.gradient_pan(small_cfg, 3, vx=3, vy=1))
+
+        def run(model):
+            e = eng(model=model)
+            outs = []
+            for f in frames:
+                outs.extend(e.push(f))
+            # outs[1] is the t=0 slot (all families coincide there);
+            # outs[2] is a fractional blend position (t=0.4)
+            return np.asarray(outs[2].device_planes()[0])
+
+        xq = run("hopperxq")
+        q = run("hopperq")
+        x = run("hopperx")
+        base = run("hopper")
+        # the combination is its own point in quality space: sub-pixel
+        # sampling differs from hopperx, occlusion handling from hopperq
+        assert not np.array_equal(xq, x)
+        assert not np.array_equal(xq, base)
+        assert xq.shape == q.shape
+
+    def test_agreeing_samples_match_hopperq(self, small_cfg):
+        """On a static (zero-motion, fully agreeing) scene the occlusion
+        term is inactive: hopperxq == hopperq exactly."""
+        import numpy as np
+        from mpv_frame_interpolator_tpu.frame import FrameFormat, VideoFrame
+        fmt = FrameFormat(64, 48)
+        still = VideoFrame(np.full((48, 64), 120, np.uint8),
+                           np.full((24, 64), 128, np.uint8), fmt,
+                           pts=0.0, nominal_fps=24.0)
+        def run(model):
+            e = eng(model=model)
+            outs = []
+            for i in range(3):
+                outs.extend(e.push(VideoFrame(
+                    still.y, still.uv, fmt, pts=i / 24.0,
+                    nominal_fps=24.0)))
+            return [np.asarray(o.device_planes()[0]) for o in outs]
+        for a, b in zip(run("hopperxq"), run("hopperq")):
+            np.testing.assert_array_equal(a, b)

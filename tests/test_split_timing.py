@@ -32,7 +32,7 @@ def frames(small_cfg):
 class TestAlwaysMode:
     def test_outputs_bit_exact_vs_fused(self, frames):
         base = dict(scene_detection=True, auto_quality=False,
-                    measure_timing=True)
+                    measure_timing=True, background_precompile=False)
         _, fused = run_engine(EngineConfig(**base, split_timing="off"),
                               frames)
         _, split = run_engine(EngineConfig(**base, split_timing="always"),
@@ -47,6 +47,7 @@ class TestAlwaysMode:
     def test_split_times_are_real_measurements(self, frames):
         eng, _ = run_engine(EngineConfig(
             scene_detection=False, auto_quality=False, measure_timing=True,
+            background_precompile=False,
             split_timing="always"), frames)
         flow = eng.stats.last("flow_time")
         warp = eng.stats.last("warp_total")
@@ -61,6 +62,7 @@ class TestAutoMode:
     def test_no_split_cost_until_requested(self, frames):
         eng, _ = run_engine(EngineConfig(
             scene_detection=False, auto_quality=False, measure_timing=True,
+            background_precompile=False,
             split_timing="auto"), frames)
         assert eng.stats.last("flow_time") == 0.0
         assert not eng._split_cache
@@ -68,6 +70,7 @@ class TestAutoMode:
     def test_calibrates_once_per_spec_after_request(self, frames, small_cfg):
         eng = InterpolationEngine(EngineConfig(
             scene_detection=False, auto_quality=False, measure_timing=True,
+            background_precompile=False,
             split_timing="auto"))
         eng.request_split_timing()
         for f in frames:
@@ -85,6 +88,7 @@ class TestAutoMode:
     def test_radius_change_recalibrates(self, frames):
         eng = InterpolationEngine(EngineConfig(
             scene_detection=False, auto_quality=False, measure_timing=True,
+            background_precompile=False,
             split_timing="auto"))
         eng.request_split_timing()
         for f in frames:
@@ -100,6 +104,7 @@ class TestAutoMode:
         from mpv_frame_interpolator_tpu.api import Player
         eng = InterpolationEngine(EngineConfig(
             scene_detection=False, auto_quality=False, measure_timing=True,
+            background_precompile=False,
             split_timing="auto"))
         p = Player(engine=eng)
         assert p.get_property("ofc-time") == 0.0   # enables measurement

@@ -78,6 +78,8 @@ def run():
             "hopper": psnr_arrays(render(), gt, 255),
             "hopperx": psnr_arrays(render(occlusion_aware=True), gt, 255),
             "hopperq": psnr_arrays(render(bilinear=True), gt, 255),
+            "hopperxq": psnr_arrays(render(bilinear=True,
+                                           occlusion_aware=True), gt, 255),
         }))
 
     def cap2(x):
