@@ -80,6 +80,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="compile all radii up front")
     p.add_argument("-o", "--output", default="",
                    help="write outputs to a .y4m file")
+    p.add_argument("--osd", action="store_true",
+                   help="burn a stats overlay into output frames (player "
+                        "OSD stats analog)")
     p.add_argument("--dump-pgm", default="",
                    help="dump luma planes as PGM files into this directory")
     p.add_argument("--applet-fifo", default="",
@@ -143,6 +146,10 @@ def make_source(args):
         return gen(cfg, n), cfg.width, cfg.height
     if args.source == "-":
         rdr = y4m.Y4MReader(sys.stdin.buffer)
+        return rdr, rdr.width, rdr.height
+    from mpv_frame_interpolator_tpu.io.stream import is_stream_url, open_stream
+    if is_stream_url(args.source):
+        rdr = y4m.Y4MReader(open_stream(args.source))
         return rdr, rdr.width, rdr.height
     if args.source.endswith(".yuv"):
         fh = open(args.source, "rb")
@@ -277,6 +284,9 @@ def main(argv=None) -> int:
         sink = sinks.PgmDumpSink(args.dump_pgm)
     else:
         sink = sinks.NullSink()
+
+    if args.osd:
+        sink = sinks.OsdSink(sink, engine)
 
     present = None
     if not args.no_present:

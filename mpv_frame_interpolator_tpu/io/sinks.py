@@ -90,6 +90,39 @@ class PsnrSink:
         pass
 
 
+class OsdSink:
+    """Burns a stats line into each frame's luma before forwarding to an
+    inner sink (the headless analog of the player OSD stats overlay,
+    sub/osd.c + player OSD level 3).  Reads live engine telemetry when an
+    engine is attached."""
+
+    def __init__(self, inner, engine=None, scale: int = 2):
+        self.inner = inner
+        self.engine = engine
+        self.scale = scale
+        self.count = 0
+
+    def _text(self, frame: OutputFrame) -> str:
+        if self.engine is None:
+            return f"pts {frame.pts:8.3f}"
+        e = self.engine
+        ms = e.stats.last("source_frame_time") * 1e3
+        return (f"{frame.pts:7.2f}s r{e.quality.search_radius} "
+                f"{e.cadence.state.name} {ms:5.2f}ms")
+
+    def write(self, frame: OutputFrame):
+        from mpv_frame_interpolator_tpu.utils.osd import draw_text
+        vf = frame.to_video_frame()
+        y = np.ascontiguousarray(vf.y)
+        draw_text(y, self._text(frame), scale=self.scale)
+        self.count += 1
+        self.inner.write(OutputFrame(frame.pts, vf.fmt, y, vf.uv,
+                                     host=True))
+
+    def close(self):
+        self.inner.close()
+
+
 class PgmDumpSink:
     def __init__(self, directory: str, prefix: str = "frame"):
         os.makedirs(directory, exist_ok=True)
