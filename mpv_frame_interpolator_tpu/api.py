@@ -91,6 +91,8 @@ class Player:
             "scene-threshold": (lambda: e.scene.threshold,
                                 lambda v: setattr(e.scene, "threshold", float(v))),
             "model": (lambda: e.config.model, self._set_model),
+            # mpv core pause (requires a bound Pipeline; player/command.c)
+            "pause": (self._get_pause, self._set_pause),
             "max-calc-res": (lambda: e.config.max_calc_res,
                              self._set_max_calc_res),
             "blending-scalar": (lambda: e.cadence.blending_scalar, None),
@@ -147,6 +149,14 @@ class Player:
             self.engine.request_split_timing()
             return self.engine.stats.last(name)
         return get
+
+    def _get_pause(self):
+        return bool(self.pipeline.paused) if self.pipeline else False
+
+    def _set_pause(self, v):
+        if self.pipeline is None:
+            raise PropertyError("no pipeline bound; pause unavailable")
+        self.pipeline.set_pause(bool(v))
 
     def _set_mode(self, v):
         self.engine.frame_output_mode = int(v)
@@ -207,6 +217,12 @@ class Player:
                 raise PropertyError("no pipeline bound; seek unavailable")
             self.pipeline.seek(float(args[0]))
             self._push_event(Event(EventType.SEEK_RESET, data=float(args[0])))
+            return None
+        if name == "frame-step":
+            if self.pipeline is None:
+                raise PropertyError("no pipeline bound; frame-step "
+                                    "unavailable")
+            self.pipeline.frame_step()
             return None
         if name == "seek-reset":
             self.engine.reset()

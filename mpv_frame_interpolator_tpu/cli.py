@@ -145,7 +145,13 @@ def make_source(args):
         n = args.frames or 1 << 30
         return gen(cfg, n), cfg.width, cfg.height
     if args.source == "-":
-        rdr = y4m.Y4MReader(sys.stdin.buffer)
+        from mpv_frame_interpolator_tpu.io import ingest
+        if args.ingest != "python" and ingest.have_native_ingest():
+            # the C++ ring reads the raw stdin fd directly (no buffered
+            # layer stealing bytes); pipes stream, they just can't seek
+            rdr = ingest.NativeY4MSource(sys.stdin.buffer.raw)
+        else:
+            rdr = y4m.Y4MReader(sys.stdin.buffer)
         return rdr, rdr.width, rdr.height
     from mpv_frame_interpolator_tpu.io.stream import is_stream_url, open_stream
     if is_stream_url(args.source):

@@ -77,7 +77,16 @@ def rgb_to_frame(rgb: np.ndarray, pixfmt: str = NV12, pts: float = 0.0,
     return i420_to_frame(y8, u, v, pixfmt, pts, nominal_fps)
 
 
-def autoconvert(frame: VideoFrame, want_pixfmt: str) -> VideoFrame:
+def autoconvert(frame: VideoFrame, want_pixfmt: str,
+                want_width: int = 0, want_height: int = 0) -> VideoFrame:
     """Entry point matching mp_autoconvert semantics: return the frame
-    unchanged if already acceptable, else convert."""
+    unchanged if already acceptable, else convert -- bit depth
+    (NV12<->P010) and, when a target geometry is given, a bilinear
+    rescale (the swscale scaling leg of f_autoconvert)."""
+    if want_width or want_height:
+        w = want_width or frame.fmt.width
+        h = want_height or frame.fmt.height
+        if (w, h) != (frame.fmt.width, frame.fmt.height):
+            from mpv_frame_interpolator_tpu.io.filters import scale
+            frame = scale(w, h)(frame)
     return convert_frame(frame, want_pixfmt)

@@ -46,11 +46,19 @@ class NativeY4MSource:
     a frame's planes are valid until that hook is called (the pipeline's
     staging path calls it right after the host->HBM copy completes)."""
 
-    def __init__(self, path: str, ring_depth: int = 4,
+    def __init__(self, path, ring_depth: int = 4,
                  start_pts: float = 0.0):
+        """`path` is a filesystem path, or an unbuffered binary file
+        object / raw fd for pipe ingest (stdin): the C++ ring reads any
+        fd; only byte-seeking needs a real file."""
         if not have_native_ingest():
             raise RuntimeError("native extension not built; use Y4MReader")
-        self._fh = open(path, "rb", buffering=0)
+        if isinstance(path, str):
+            self._fh = open(path, "rb", buffering=0)
+        elif isinstance(path, int):
+            self._fh = os.fdopen(path, "rb", buffering=0, closefd=False)
+        else:
+            self._fh = path           # unbuffered binary file object
         header = self._read_line()
         (self.width, self.height, self.fps,
          self.pixfmt) = y4m_mod.parse_header(header.decode("ascii", "replace").strip())
@@ -65,15 +73,22 @@ class NativeY4MSource:
         self._dt = 1.0 / self.fps if self.fps > 0 else 1.0 / 24.0
         self._start_pts = start_pts
         self._frame_index = 0
-        self._data_start = self._fh.tell()
         self._payload = (self.width * self.height
                          + 2 * (self.width // 2) * (self.height // 2)
                          ) * self._itemsize
         # learn the FRAME marker length for O(1) seeks (constant-marker
-        # streams; every common producer emits a fixed line)
-        marker = self._read_line()
-        self._marker_len = len(marker) if marker.startswith(b"FRAME") else 0
-        self._fh.seek(self._data_start)
+        # streams; every common producer emits a fixed line).  Pipes
+        # cannot rewind: they stream fine but report seekable()=False.
+        self._marker_len = 0
+        try:
+            self._data_start = self._fh.tell()
+            if self._fh.seekable():
+                marker = self._read_line()
+                if marker.startswith(b"FRAME"):
+                    self._marker_len = len(marker)
+                self._fh.seek(self._data_start)
+        except OSError:
+            self._data_start = -1
 
         self._ring_depth = ring_depth
         self._frames = {}        # tag -> (y, uv) buffer pair, stable forever

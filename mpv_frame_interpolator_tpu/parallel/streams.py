@@ -15,10 +15,11 @@ stream's content gets expensive, only that stream degrades (search radius
 / TooSlow); the compiled XLA programs are shared across streams
 automatically (the step factories are process-wide caches).
 
-Dispatch strategy (measured on v5e, 4x1080p 24->60):
-  sequential fused steps   1158 total out-fps   <- default
-  vmapped across streams    428 total out-fps   (batch_dispatch=True)
-The vmap variant looked like the obvious win but measured 2.7x SLOWER: the
+Dispatch strategy (measured on v5e, 4x1080p 24->60; r2 numbers after the
+host dispatch-path fixes -- the r1 measurement was 1158 vs 428):
+  sequential fused steps   7613 total out-fps   <- default
+  vmapped across streams   1308 total out-fps   (batch_dispatch=True)
+The vmap variant looked like the obvious win but measures 5.8x SLOWER: the
 flow's gathers batch poorly under a leading vmap axis, and the fused
 per-pair dispatch is already large enough to keep the chip busy.  The
 vmapped path is kept behind `batch_dispatch=True` for future hardware

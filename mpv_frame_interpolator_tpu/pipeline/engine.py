@@ -114,6 +114,14 @@ class EngineConfig:
     #              slower: two device round-trips per pair)
     #   "off"    = no split telemetry (ofc/warp times read 0)
     split_timing: str = "auto"
+    # warp-batch shape policy:
+    #   "exact"  = one program per distinct output count (2-4 programs for
+    #              a fixed rate pair; the r1 behavior)
+    #   "bucket" = pad the blend batch up to {1,2,3,4,6,8,12,16,24,...}
+    #              (1.5x steps, <=33% padded warp compute) so VFR sources
+    #              whose per-pair output counts vary never hit a compile
+    #              stall after the first few buckets
+    batch_shapes: str = "exact"
 
     def __post_init__(self):
         # startup validation mirroring vf_HopperRender_create
@@ -132,6 +140,8 @@ class EngineConfig:
             raise ValueError("cut_policy must be 'nearest' or 'hold'")
         if self.split_timing not in ("auto", "always", "off"):
             raise ValueError("split_timing must be auto|always|off")
+        if self.batch_shapes not in ("exact", "bucket"):
+            raise ValueError("batch_shapes must be exact|bucket")
 
 
 class OutputFrame:
@@ -167,6 +177,17 @@ class OutputFrame:
         y, uv = self.device_planes()
         return VideoFrame(np.asarray(y), np.asarray(uv), self.fmt,
                           pts=self.pts)
+
+
+_BUCKETS = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128)
+
+
+def _bucket_size(n: int) -> int:
+    """Smallest 1.5x-step bucket >= n (batch_shapes='bucket')."""
+    for b in _BUCKETS:
+        if b >= n:
+            return b
+    return n
 
 
 @dataclasses.dataclass
@@ -405,6 +426,8 @@ class InterpolationEngine:
                                  self.scene.enabled, self.config.model,
                                  self.config.pallas_blur)
         warmed = 0
+        if self.config.batch_shapes == "bucket":
+            sizes = {_bucket_size(n) for n in sizes}
         for n in sorted(sizes):
             if _warm_shutdown is not None and _warm_shutdown.is_set():
                 break
@@ -532,8 +555,10 @@ class InterpolationEngine:
         # (ordering per vf_HopperRender.c:484 before the new calc)
         self.quality.update(self._last_calc_duration, self.cadence)
 
-        spec_key = (self.frame_output_mode, self.cadence.num_int_frames,
-                    self.config.model)
+        n_out = len(plan.outputs)
+        n_batch = (_bucket_size(n_out)
+                   if self.config.batch_shapes == "bucket" else n_out)
+        spec_key = (self.frame_output_mode, n_batch, self.config.model)
         was_warm = spec_key in self._warm
 
         t0 = time.perf_counter()
@@ -545,7 +570,11 @@ class InterpolationEngine:
             f1 = f2
 
         out_fmt = self._out_fmt()
-        ts = jnp.asarray([slot.blend for slot in plan.outputs], jnp.float32)
+        blends = [slot.blend for slot in plan.outputs]
+        if n_batch > n_out:
+            # padded warp slots (batch_shapes="bucket"): computed, unused
+            blends += [blends[-1]] * (n_batch - n_out)
+        ts = jnp.asarray(blends, jnp.float32)
         args = (f1.y, f1.uv, f2.y, f2.uv)
         knobs = (self._dev_scalar("radius", self.quality.search_radius,
                                   jnp.int32),

@@ -127,6 +127,13 @@ class Pipeline:
         self.seeks = 0
         self._pending_seek: Optional[float] = None
         self._commands: "queue.Queue" = queue.Queue()
+        # pause state (mpv core pause, player/playloop.c pause handling):
+        # cleared = paused.  frame-step = unpause for exactly one source
+        # frame's outputs (player/command.c frame-step).
+        self._unpaused = threading.Event()
+        self._unpaused.set()
+        self._step_frames = 0
+        self.paused = False
 
     # -- runtime command surface (mp_filter_command analog) --------------
 
@@ -143,6 +150,23 @@ class Pipeline:
         source (io/y4m.py readers); otherwise degrades to seek_reset."""
         self._commands.put(("seek", float(pts)))
 
+    def set_pause(self, paused: bool):
+        """mpv `pause` property: halt consumption between source frames;
+        the present clock re-anchors on resume so the vblank grid does
+        not accumulate the paused wall time."""
+        self.paused = bool(paused)
+        if paused:
+            self._unpaused.clear()
+        else:
+            self._commands.put(("resync-present", None))
+            self._unpaused.set()
+
+    def frame_step(self):
+        """mpv `frame-step`: while paused, advance by one source frame's
+        outputs, then stay paused."""
+        self._step_frames += 1
+        self._unpaused.set()
+
     def source_seekable(self) -> bool:
         s = self.source
         return hasattr(s, "seek_pts") and getattr(s, "seekable", lambda: False)()
@@ -155,6 +179,9 @@ class Pipeline:
                     self.engine.set_speed(arg)
                 elif cmd == "reset":
                     self.engine.reset()
+                    if self.present:
+                        self.present.reset()
+                elif cmd == "resync-present":
                     if self.present:
                         self.present.reset()
                 elif cmd == "seek":
@@ -227,6 +254,12 @@ class Pipeline:
                         log.warning("source underrun: decoder is %.1f ms "
                                     "behind the source cadence",
                                     reader.last_wait * 1e3)
+                # pause gate (commands and queued seeks stay live)
+                while not self._unpaused.is_set():
+                    self._unpaused.wait(0.05)
+                    self._apply_commands()
+                    if self._pending_seek is not None:
+                        break
                 self._apply_commands()
                 if self._pending_seek is not None:
                     pts = self._pending_seek
@@ -272,6 +305,10 @@ class Pipeline:
                     self.frames_out += 1
                 if self.present is not None:
                     self._maybe_adapt_display_rate()
+                if self._step_frames > 0:
+                    self._step_frames -= 1
+                    if self._step_frames == 0 and self.paused:
+                        self._unpaused.clear()
                 if max_source_frames and self.frames_in >= max_source_frames:
                     break
         finally:

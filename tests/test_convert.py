@@ -41,3 +41,22 @@ class TestConvert:
         # V (Cr) high for red, U (Cb) high for blue
         assert red.uv[:, 1::2].mean() > 200
         assert blue.uv[:, 0::2].mean() > 200
+
+
+class TestAutoconvertScaling:
+    def test_rescale_leg(self, small_cfg):
+        import numpy as np
+        from mpv_frame_interpolator_tpu.io import synthetic
+        from mpv_frame_interpolator_tpu.io.convert import autoconvert
+        f = next(iter(synthetic.moving_box(small_cfg, 1)))
+        out = autoconvert(f, "nv12", want_width=32, want_height=24)
+        assert (out.fmt.width, out.fmt.height) == (32, 24)
+        out2 = autoconvert(f, "p010", want_width=32, want_height=24)
+        assert out2.fmt.pixfmt == "p010" and out2.y.dtype == np.uint16
+
+    def test_noop_when_matching(self, small_cfg):
+        from mpv_frame_interpolator_tpu.io import synthetic
+        from mpv_frame_interpolator_tpu.io.convert import autoconvert
+        f = next(iter(synthetic.moving_box(small_cfg, 1)))
+        assert autoconvert(f, "nv12") is f
+        assert autoconvert(f, "nv12", want_width=64, want_height=48) is f

@@ -340,3 +340,42 @@ class TestStatsReset:
         assert s.summary()
         s.reset()
         assert s.summary() == {}
+
+
+class TestBatchBucketing:
+    def test_bucketed_outputs_bit_exact(self, small_cfg):
+        """batch_shapes='bucket' pads the warp batch but must emit exactly
+        the same frames as the exact-shape mode."""
+        import numpy as np
+        frames = list(synthetic.gradient_pan(small_cfg, 5))
+        exact = make_engine(batch_shapes="exact")
+        bucket = make_engine(batch_shapes="bucket")
+        outs_e, outs_b = [], []
+        for f in frames:
+            outs_e.extend(exact.push(f))
+            outs_b.extend(bucket.push(f))
+        assert len(outs_e) == len(outs_b)
+        for a, b in zip(outs_e, outs_b):
+            assert a.pts == b.pts
+            ya, _ = a.device_planes()
+            yb, _ = b.device_planes()
+            np.testing.assert_array_equal(np.asarray(ya), np.asarray(yb))
+
+    def test_vfr_uses_few_specializations(self, small_cfg):
+        """A VFR source producing varied per-pair counts compiles only a
+        handful of bucketed programs."""
+        import dataclasses as dc
+        eng = make_engine(batch_shapes="bucket", display_fps=120.0)
+        pts, t = [], 0.0
+        rates = [24.0, 25.0, 30.0, 20.0, 48.0]
+        frames = list(synthetic.gradient_pan(small_cfg, 15))
+        for i, f in enumerate(frames):
+            r = rates[i % len(rates)]
+            frames[i] = dc.replace(f, pts=t, nominal_fps=r)
+            t += 1.0 / r
+        for f in frames:
+            eng.push(f)
+        sizes = {spec[1] for spec in eng._warm}
+        from mpv_frame_interpolator_tpu.pipeline.engine import _BUCKETS
+        assert sizes <= set(_BUCKETS)
+        assert len(sizes) <= 4

@@ -188,3 +188,51 @@ class TestPipelineIntegration:
         assert pipe.seeks == 1
         assert max(sink.pts) >= 18 / 24.0
         src.close()
+
+
+class TestPipeIngest:
+    def test_native_ring_over_pipe(self, tmp_path):
+        """The C++ ring reads any fd: a pipe streams fine, just without
+        seek (stdin ingest path)."""
+        import os
+        path = write_y4m(tmp_path, n=6)
+        data = open(path, "rb").read()
+        r, w = os.pipe()
+        import threading
+
+        def feed():
+            with os.fdopen(w, "wb") as fh:
+                fh.write(data)
+
+        t = threading.Thread(target=feed)
+        t.start()
+        src = NativeY4MSource(os.fdopen(r, "rb", buffering=0))
+        assert not src.seekable()
+        frames = drain(src)
+        assert len(frames) == 6
+        ref = list(Y4MReader(open(path, "rb")))
+        np.testing.assert_array_equal(frames[3].y, ref[3].y)
+        t.join()
+        src.close()
+
+    def test_cli_stdin_native(self, tmp_path, monkeypatch, capsys):
+        import sys
+        import threading
+        from mpv_frame_interpolator_tpu.cli import make_source, build_parser
+        from mpv_frame_interpolator_tpu.options import parse_with_config
+        path = write_y4m(tmp_path, n=4, w=64, h=48)
+        data = open(path, "rb").read()
+        r, w = os.pipe()
+        t = threading.Thread(
+            target=lambda: (os.write(w, data), os.close(w)))
+        t.start()
+
+        class FakeStdin:
+            buffer = type("B", (), {
+                "raw": os.fdopen(r, "rb", buffering=0)})()
+
+        monkeypatch.setattr(sys, "stdin", FakeStdin())
+        args = parse_with_config(build_parser(), ["--no-config", "-"])
+        src, w, h = make_source(args)
+        assert (w, h) == (64, 48)
+        assert len(drain(src)) == 4
