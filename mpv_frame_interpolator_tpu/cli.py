@@ -106,6 +106,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--script", default="",
                    help="run a Python script with a `player` handle bound "
                         "to the live engine (scripting-layer analog)")
+    p.add_argument("--end", type=float, default=None,
+                   help="stop playback at this source pts (seconds; mpv "
+                        "--end analog)")
+    p.add_argument("--loop", type=int, default=0,
+                   help="replay the source N more times after EOF "
+                        "(-1 = forever; --loop-file analog; needs a "
+                        "seekable source)")
     p.add_argument("--start", type=float, default=None,
                    help="skip source frames until this pts (seconds); "
                         "defaults to a watch-later position if one exists")
@@ -304,6 +311,8 @@ def main(argv=None) -> int:
         source = apply_chain(parse_chain(args.vf), source)
 
     pipe = Pipeline(source, engine, sink, present)
+    pipe.loop = args.loop
+    pipe.end_pts = args.end
 
     if args.script:
         import threading

@@ -29,8 +29,9 @@ def ffmpeg_source(path: str, pixfmt: str = NV12, threads: int = 0,
     """Decode any media file to VideoFrames through ffmpeg -> y4m pipe."""
     if not have_ffmpeg():
         raise RuntimeError(
-            f"cannot open {path!r}: ffmpeg is not installed and only .y4m/"
-            f".yuv are natively readable")
+            f"cannot open {path!r}: ffmpeg is not installed; natively "
+            f"readable formats are .y4m, .yuv (raw I420), and .mkv/.webm "
+            f"with uncompressed video (io/mkv.py)")
     outfmt = "yuv420p" if pixfmt == NV12 else "yuv420p10le"
     cmd = ["ffmpeg", "-nostdin", "-loglevel", "error", "-i", path,
            "-map", "0:v:0", "-pix_fmt", outfmt, "-f", "yuv4mpegpipe", "-"]

@@ -134,6 +134,12 @@ class Pipeline:
         self._unpaused.set()
         self._step_frames = 0
         self.paused = False
+        # --loop-file / --end analogs (options/options.c): loop counts
+        # ADDITIONAL plays (-1 = forever); end_pts stops playback at a
+        # source timestamp
+        self.loop = 0
+        self.end_pts: Optional[float] = None
+        self._eof_stop = False
 
     # -- runtime command surface (mp_filter_command analog) --------------
 
@@ -231,8 +237,19 @@ class Pipeline:
         try:
             while True:
                 restart = self._run_segment(max_source_frames)
-                if not restart:
-                    break
+                if restart:
+                    continue
+                if (self.loop != 0 and not self._eof_stop
+                        and self.source_seekable()
+                        and not (max_source_frames
+                                 and self.frames_in >= max_source_frames)):
+                    if self.loop > 0:
+                        self.loop -= 1
+                    log.info("looping (remaining: %s)",
+                             "inf" if self.loop < 0 else self.loop)
+                    self._execute_seek(0.0)
+                    continue
+                break
         finally:
             self.sink.close()
         return self.frames_out
@@ -241,11 +258,17 @@ class Pipeline:
         """Play until EOF, frame budget, or a queued seek.  Returns True if
         a seek was executed and playback should restart from the new
         position."""
+        self._eof_stop = False
         reader = _Prefetcher(self.source, self.prefetch,
                              stage=self.engine.stage if self.stage_uploads
                              else None)
         try:
             for frame in reader:
+                if self.end_pts is not None and frame.pts > self.end_pts:
+                    self._eof_stop = True
+                    if frame.recycle is not None:
+                        frame.recycle()
+                    break
                 if (self.present is not None and not self.present.untimed
                         and reader.last_wait
                         > self.engine.cadence.source_frame_time):

@@ -207,3 +207,40 @@ class TestPlayerSeekCommand:
         player = Player(engine=eng())
         with pytest.raises(PropertyError):
             player.command("seek", 1.0)
+
+
+class TestLoopAndEnd:
+    def test_end_stops_early(self):
+        rdr = Y4MReader(small_y4m(24))
+        pipe_ref = [None]
+        sink = _PtsSink(pipe_ref)
+        pipe = Pipeline(rdr, eng(), sink, present=None, stage_uploads=False)
+        pipe.end_pts = 10 / 24.0
+        pipe.run()
+        # sources beyond end are never consumed; the last included pair's
+        # outputs extend at most one source interval past end
+        assert pipe.frames_in <= 11
+        assert max(sink.pts) <= 11 / 24.0 + 1e-9
+
+    def test_loop_replays(self):
+        rdr = Y4MReader(small_y4m(8))
+        pipe_ref = [None]
+        sink = _PtsSink(pipe_ref)
+        pipe = Pipeline(rdr, eng(), sink, present=None, stage_uploads=False)
+        pipe.loop = 2                      # 3 total plays
+        pipe.run()
+        drops = np.where(np.diff(sink.pts) < 0)[0]
+        assert len(drops) == 2             # two wrap-arounds
+        assert pipe.seeks == 2
+        assert pipe.frames_in == 24
+
+    def test_loop_with_end(self):
+        rdr = Y4MReader(small_y4m(24))
+        pipe_ref = [None]
+        sink = _PtsSink(pipe_ref)
+        pipe = Pipeline(rdr, eng(), sink, present=None, stage_uploads=False)
+        pipe.loop = 5
+        pipe.end_pts = 6 / 24.0            # --end beats --loop (mpv too)
+        pipe.run()
+        assert pipe.seeks == 0
+        assert max(sink.pts) <= 7 / 24.0 + 1e-9
