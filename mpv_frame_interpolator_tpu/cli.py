@@ -178,17 +178,25 @@ def make_source(args):
         else:
             rdr = ingest.open_y4m(args.source)
         return rdr, rdr.width, rdr.height
+    container = None
     if args.source.endswith((".mkv", ".webm")):
-        from mpv_frame_interpolator_tpu.io.decode import have_ffmpeg
         from mpv_frame_interpolator_tpu.io.mkv import MKVError, MKVReader
+        container = (MKVReader, MKVError, "MKV")
+    elif args.source.endswith((".mp4", ".mov", ".m4v")):
+        from mpv_frame_interpolator_tpu.io.mp4 import MP4Error, MP4Reader
+        container = (MP4Reader, MP4Error, "MP4")
+    if container is not None:
+        from mpv_frame_interpolator_tpu.io.decode import have_ffmpeg
+        reader_cls, err_cls, name = container
         try:
-            rdr = MKVReader(args.source)
+            rdr = reader_cls(args.source)
             return rdr, rdr.width, rdr.height
-        except MKVError as e:
+        except err_cls as e:
             # compressed codec (or exotic layout): needs a real decoder
             if not have_ffmpeg():
                 raise SystemExit(f"cannot open {args.source!r}: {e}")
-            log.info("native MKV demux declined (%s); using ffmpeg", e)
+            log.info("native %s demux declined (%s); using ffmpeg",
+                     name, e)
     from mpv_frame_interpolator_tpu.io.decode import ffmpeg_source
     src = ffmpeg_source(args.source, P010 if args.p010 else NV12)
     return src, args.width, args.height
