@@ -97,9 +97,19 @@ def build_parser() -> argparse.ArgumentParser:
                         "when the source cannot seek by itself")
     p.add_argument("--ingest", default="auto",
                    choices=("auto", "native", "python"),
-                   help="y4m file ingest path: the C++ demuxer ring with "
-                        "recycled buffers (native), the Python reader "
-                        "(python), or native-when-built (auto)")
+                   help="file ingest path (y4m + MKV/MP4 raw video): the "
+                        "C++ demuxer ring with recycled buffers (native), "
+                        "the Python reader (python), or native-when-built "
+                        "(auto)")
+    p.add_argument("--subpel-flow", action="store_true",
+                   help="measured fractional-pel flow refinement for the "
+                        "bilinear families (hopperq/hopperxq): parabolic "
+                        "sub-pel fit of the SAD surface feeding a 1/64-pel "
+                        "warp (quality option; changes their output)")
+    p.add_argument("--warp-loop", default="vmap", choices=("vmap", "scan"),
+                   help="how the per-pair warp batch is expressed in the "
+                        "fused program (bit-identical outputs; compile-time "
+                        "tradeoff knob)")
     p.add_argument("--vf", default="",
                    help="host filter chain before interpolation, e.g. "
                         "'crop=640:360,vflip,fps=24' (user_filters analog)")
@@ -189,7 +199,12 @@ def make_source(args):
         from mpv_frame_interpolator_tpu.io.decode import have_ffmpeg
         reader_cls, err_cls, name = container
         try:
-            rdr = reader_cls(args.source)
+            if args.ingest == "python":
+                rdr = reader_cls(args.source)
+            else:
+                # C++ indexed pread ring over the container's frame index
+                from mpv_frame_interpolator_tpu.io import ingest
+                rdr = ingest.open_container(args.source)
             return rdr, rdr.width, rdr.height
         except err_cls as e:
             # compressed codec (or exotic layout): needs a real decoder
@@ -247,6 +262,8 @@ def main(argv=None) -> int:
         playback_speed=args.speed,
         precompile=args.precompile,
         model=args.model,
+        subpel_flow=args.subpel_flow,
+        warp_loop=args.warp_loop,
     )
     engine = InterpolationEngine(config)
     if args.speed != 1.0:

@@ -133,8 +133,21 @@ class NativeY4MSource:
         except RuntimeError:
             pass                     # ring stopped mid-recycle (teardown)
 
+    def _grow_if_starved(self, dtype):
+        """mp_image_pool semantics (video/mp_image_pool.c): when the
+        consumer still holds every buffer (e.g. collecting frames without
+        recycling), allocate one more pair instead of deadlocking the
+        reader thread.  The prompt-recycle hot path never triggers this."""
+        if len(self._outstanding) >= len(self._frames):
+            tag = len(self._frames)
+            pair = (np.empty((self.height, self.width), dtype),
+                    np.empty((self.height // 2, self.width), dtype))
+            self._frames[tag] = pair
+            self._ring.push_free(tag, *pair)
+
     def __iter__(self) -> Iterator[VideoFrame]:
         while True:
+            self._grow_if_starved(self._dtype)
             tag = self._ring.pop()
             if tag is None:
                 return
@@ -181,6 +194,147 @@ class NativeY4MSource:
         if self._ring is not None:
             self._ring.stop()
         self._fh.close()
+
+
+class NativeIndexedSource:
+    """Container-indexed native ingest: MKV (V_UNCOMPRESSED) / MP4 raw
+    video streamed by the C++ IndexedRing into recycled buffers.
+
+    Python parses the container ONCE (io/mkv.py / io/mp4.py build the
+    frame-offset index); the C++ thread preads each payload at its indexed
+    offset into a registered luma buffer and interleaves I420 chroma into
+    NV12 on the same pass.  Same zero-alloc recycling contract as
+    NativeY4MSource; seek is O(1) (restart the ring at index n)."""
+
+    def __init__(self, reader, ring_depth: int = 4):
+        """`reader` is an already-constructed MKVReader or MP4Reader (both
+        expose _index [(offset, size, pts)], _layout 'i420'|'nv12', and an
+        open file)."""
+        if not have_native_ingest() or not hasattr(_native, "IndexedRing"):
+            raise RuntimeError("native extension not built; iterate the "
+                               "container reader directly")
+        self._reader = reader
+        self.width, self.height = reader.width, reader.height
+        self.fps = reader.fps
+        self.fmt = reader.fmt
+        self.pixfmt = reader.fmt.pixfmt
+        self._layout = reader._layout
+        self._start_pts = getattr(reader, "_start_pts", 0.0)
+        expected = self.width * self.height * 3 // 2
+        index = reader._index
+        for off, size, _ in index:
+            if size < expected:
+                raise ValueError(
+                    f"short frame payload in index ({size} < {expected}); "
+                    f"use the Python reader")
+        self._offsets = np.ascontiguousarray(
+            [off for off, _, _ in index], np.int64)
+        self._pts = [pts for _, _, pts in index]
+        self._fd = reader._fh.fileno()
+        self._frame_index = 0
+        self._ring_depth = ring_depth
+        self._frames = {}
+        self._outstanding = set()
+        self._recycled = 0
+        self._ring = None
+        self._open_ring(0)
+
+    def _open_ring(self, start: int):
+        self._ring = _native.IndexedRing(self._fd, self.width, self.height,
+                                         self._layout,
+                                         self._offsets[start:])
+        hc, wc = self.height // 2, self.width
+        while len(self._frames) < self._ring_depth:
+            tag = len(self._frames)
+            self._frames[tag] = (
+                np.empty((self.height, self.width), np.uint8),
+                np.empty((hc, wc), np.uint8))
+        for tag, (y, uv) in self._frames.items():
+            if tag not in self._outstanding:
+                self._ring.push_free(tag, y, uv)
+
+    def _recycle(self, tag: int):
+        if tag not in self._outstanding:
+            return
+        self._outstanding.discard(tag)
+        self._recycled += 1
+        y, uv = self._frames[tag]
+        try:
+            self._ring.push_free(tag, y, uv)
+        except RuntimeError:
+            pass                     # ring stopped mid-recycle (teardown)
+
+    _grow_if_starved = NativeY4MSource._grow_if_starved
+
+    def __iter__(self) -> Iterator[VideoFrame]:
+        while True:
+            self._grow_if_starved(np.uint8)
+            tag = self._ring.pop()
+            if tag is None:
+                return
+            self._outstanding.add(tag)
+            y, uv = self._frames[tag]
+            pts = self._start_pts + self._pts[self._frame_index]
+            self._frame_index += 1
+            yield VideoFrame(
+                y, uv, self.fmt, pts=pts, nominal_fps=self.fps,
+                recycle=(lambda t=tag: self._recycle(t)))
+
+    # -- seek (index lookup + ring restart; O(1) in stream length) --------
+
+    def seekable(self) -> bool:
+        return True
+
+    def n_frames(self) -> int:
+        return len(self._pts)
+
+    def seek_frame(self, n: int):
+        n = max(min(int(n), len(self._pts)), 0)
+        self._ring.stop()
+        self._frame_index = n
+        self._open_ring(n)
+
+    def seek_pts(self, pts: float) -> float:
+        target = pts - self._start_pts
+        lo = 0
+        for i, t in enumerate(self._pts):
+            if t <= target + 1e-9:
+                lo = i
+            else:
+                break
+        self.seek_frame(lo)
+        return (self._start_pts + self._pts[lo]) if self._pts else 0.0
+
+    def stats(self) -> dict:
+        s = self._ring.stats()
+        s["recycled"] = self._recycled
+        s["outstanding"] = len(self._outstanding)
+        return s
+
+    def close(self):
+        if self._ring is not None:
+            self._ring.stop()
+        self._reader.close()
+
+
+def open_container(path: str, prefer_native: bool = True, ring_depth: int = 4,
+                   start_pts: float = 0.0):
+    """Best MKV/MP4 raw-video source for `path`: the native indexed ring
+    when built, the pure-Python reader otherwise.  Raises the reader's
+    error type for compressed codecs (callers fall back to io/decode.py)."""
+    if path.endswith((".mp4", ".mov", ".m4v")):
+        from mpv_frame_interpolator_tpu.io.mp4 import MP4Reader as cls
+    else:
+        from mpv_frame_interpolator_tpu.io.mkv import MKVReader as cls
+    reader = cls(path, start_pts=start_pts)
+    if prefer_native and have_native_ingest() \
+            and hasattr(_native, "IndexedRing"):
+        try:
+            return NativeIndexedSource(reader, ring_depth=ring_depth)
+        except (RuntimeError, ValueError) as e:
+            log.info("native indexed ingest unavailable for %s (%s); "
+                     "using Python reader", path, e)
+    return reader
 
 
 def open_y4m(path: str, prefer_native: bool = True, ring_depth: int = 4,

@@ -262,11 +262,22 @@ struct RingSlot {
     long tag;
 };
 
+// source layouts the reader thread understands:
+//   LAYOUT_Y4M      sequential FRAME-marker stream (y4m), read()
+//   LAYOUT_IDX_I420 container-indexed planar I420 payloads, pread()
+//   LAYOUT_IDX_NV12 container-indexed NV12 payloads, pread()
+// The indexed modes serve MKV (V_UNCOMPRESSED) and MP4/MOV (raw video)
+// demuxing: Python parses the container once into a frame-offset table
+// (io/mkv.py, io/mp4.py) and this thread streams the payloads into
+// recycled buffers -- the same zero-alloc, no-GIL data path as y4m.
+enum { LAYOUT_Y4M = 0, LAYOUT_IDX_I420 = 1, LAYOUT_IDX_NV12 = 2 };
+
 struct RingObject {
     PyObject_HEAD
     int fd;
     int itemsize;   // 1 (NV12) or 2 (P010)
     int shift;      // 10-bit -> P010 top-bits shift (6), else 0
+    int layout;     // LAYOUT_* above
     size_t y_items, c_items;  // samples: w*h and (w/2)*(h/2)
     std::mutex* mu;
     std::condition_variable* cv;
@@ -277,12 +288,24 @@ struct RingObject {
     std::string* err;
     uint8_t* scratch;        // planar u+v staging (2 * c_items * itemsize)
     long long frames_read;
+    std::vector<long long>* offsets;  // indexed modes: payload byte offsets
+    size_t next_idx;                  // reader-thread-only cursor
 };
 
 static bool read_full(int fd, uint8_t* dst, size_t n) {
     size_t got = 0;
     while (got < n) {
         ssize_t r = read(fd, dst + got, n - got);
+        if (r <= 0) return false;
+        got += r;
+    }
+    return true;
+}
+
+static bool pread_full(int fd, uint8_t* dst, size_t n, long long off) {
+    size_t got = 0;
+    while (got < n) {
+        ssize_t r = pread(fd, dst + got, n - got, (off_t)(off + got));
         if (r <= 0) return false;
         got += r;
     }
@@ -320,34 +343,64 @@ static void ring_reader(RingObject* r) {
             slot = r->free_q->front();
             r->free_q->pop_front();
         }
-        int m = read_marker(r->fd);
+        int m;
         bool ok = false;
-        if (m == 1) {
-            const size_t ybytes = r->y_items * r->itemsize;
-            const size_t cbytes = r->c_items * r->itemsize;
-            ok = read_full(r->fd, (uint8_t*)slot.y.buf, ybytes) &&
-                 read_full(r->fd, r->scratch, 2 * cbytes);
-            if (ok) {
-                if (r->itemsize == 1) {
-                    interleave_shift((const uint8_t*)r->scratch,
-                                     (const uint8_t*)r->scratch + cbytes,
-                                     (uint8_t*)slot.uv.buf, r->c_items, 0);
-                } else {
-                    if (r->shift) {
-                        uint16_t* yb = (uint16_t*)slot.y.buf;
-                        for (size_t i = 0; i < r->y_items; i++)
-                            yb[i] = (uint16_t)(yb[i] << r->shift);
+        const size_t ybytes = r->y_items * r->itemsize;
+        const size_t cbytes = r->c_items * r->itemsize;
+        if (r->layout == LAYOUT_Y4M) {
+            m = read_marker(r->fd);
+            if (m == 1) {
+                ok = read_full(r->fd, (uint8_t*)slot.y.buf, ybytes) &&
+                     read_full(r->fd, r->scratch, 2 * cbytes);
+                if (ok) {
+                    if (r->itemsize == 1) {
+                        interleave_shift((const uint8_t*)r->scratch,
+                                         (const uint8_t*)r->scratch + cbytes,
+                                         (uint8_t*)slot.uv.buf, r->c_items, 0);
+                    } else {
+                        if (r->shift) {
+                            uint16_t* yb = (uint16_t*)slot.y.buf;
+                            for (size_t i = 0; i < r->y_items; i++)
+                                yb[i] = (uint16_t)(yb[i] << r->shift);
+                        }
+                        interleave_shift((const uint16_t*)r->scratch,
+                                         (const uint16_t*)r->scratch + r->c_items,
+                                         (uint16_t*)slot.uv.buf, r->c_items,
+                                         r->shift);
                     }
-                    interleave_shift((const uint16_t*)r->scratch,
-                                     (const uint16_t*)r->scratch + r->c_items,
-                                     (uint16_t*)slot.uv.buf, r->c_items,
-                                     r->shift);
                 }
+            }
+        } else {
+            // container-indexed payloads (MKV/MP4): pread at the demuxed
+            // offset -- never moves the fd position, so Python-side index
+            // parsing and this thread share the fd safely
+            size_t i = r->next_idx;
+            if (i >= r->offsets->size()) {
+                m = 0;  // clean end of index
+            } else {
+                r->next_idx = i + 1;
+                const long long off = (*r->offsets)[i];
+                ok = pread_full(r->fd, (uint8_t*)slot.y.buf, ybytes, off);
+                if (ok && r->layout == LAYOUT_IDX_NV12) {
+                    ok = pread_full(r->fd, (uint8_t*)slot.uv.buf, 2 * cbytes,
+                                    off + (long long)ybytes);
+                } else if (ok) {   // LAYOUT_IDX_I420
+                    ok = pread_full(r->fd, r->scratch, 2 * cbytes,
+                                    off + (long long)ybytes);
+                    if (ok)
+                        interleave_shift((const uint8_t*)r->scratch,
+                                         (const uint8_t*)r->scratch + cbytes,
+                                         (uint8_t*)slot.uv.buf, r->c_items, 0);
+                }
+                m = ok ? 1 : -1;
             }
         }
         std::lock_guard<std::mutex> l(*r->mu);
         if (!ok) {
-            if (m == -1) *r->err = "corrupt y4m FRAME record";
+            if (m == -1)
+                *r->err = r->layout == LAYOUT_Y4M
+                              ? "corrupt y4m FRAME record"
+                              : "short/unreadable indexed frame payload";
             r->eof = true;
             r->free_q->push_back(slot);  // buffers released at stop/dealloc
             r->cv->notify_all();
@@ -484,7 +537,37 @@ static void ring_dealloc(PyObject* self_) {
     delete self->free_q;
     delete self->filled_q;
     delete self->err;
+    delete self->offsets;
     Py_TYPE(self)->tp_free(self_);
+}
+
+// shared field init; returns false on allocation failure
+static bool ring_init_common(RingObject* self, int fd, int width, int height,
+                             int itemsize, int shift, int layout) {
+    self->fd = fd;
+    self->itemsize = itemsize;
+    self->shift = shift;
+    self->layout = layout;
+    self->y_items = (size_t)width * height;
+    self->c_items = (size_t)(width / 2) * (height / 2);
+    self->mu = new std::mutex();
+    self->cv = new std::condition_variable();
+    self->free_q = new std::deque<RingSlot>();
+    self->filled_q = new std::deque<RingSlot>();
+    self->err = new std::string();
+    self->offsets = new std::vector<long long>();
+    self->stop_flag = false;
+    self->eof = false;
+    self->frames_read = 0;
+    self->next_idx = 0;
+    self->thread = nullptr;
+    void* sc = nullptr;
+    if (posix_memalign(&sc, 128, 2 * self->c_items * itemsize) != 0) {
+        self->scratch = nullptr;
+        return false;
+    }
+    self->scratch = (uint8_t*)sc;
+    return true;
 }
 
 static PyObject* ring_new(PyTypeObject* type, PyObject* args, PyObject*) {
@@ -499,26 +582,53 @@ static PyObject* ring_new(PyTypeObject* type, PyObject* args, PyObject*) {
     }
     RingObject* self = (RingObject*)type->tp_alloc(type, 0);
     if (!self) return nullptr;
-    self->fd = fd;
-    self->itemsize = itemsize;
-    self->shift = shift;
-    self->y_items = (size_t)width * height;
-    self->c_items = (size_t)(width / 2) * (height / 2);
-    self->mu = new std::mutex();
-    self->cv = new std::condition_variable();
-    self->free_q = new std::deque<RingSlot>();
-    self->filled_q = new std::deque<RingSlot>();
-    self->err = new std::string();
-    self->stop_flag = false;
-    self->eof = false;
-    self->frames_read = 0;
-    self->thread = nullptr;
-    void* sc = nullptr;
-    if (posix_memalign(&sc, 128, 2 * self->c_items * itemsize) != 0) {
+    if (!ring_init_common(self, fd, width, height, itemsize, shift,
+                          LAYOUT_Y4M)) {
         Py_DECREF(self);
         return PyErr_NoMemory();
     }
-    self->scratch = (uint8_t*)sc;
+    self->thread = new std::thread(ring_reader, self);
+    return (PyObject*)self;
+}
+
+// IndexedRing(fd, width, height, layout, offsets): container-indexed
+// variant for MKV/MP4 raw-video payloads.  `layout` is "i420" or "nv12";
+// `offsets` exposes a C-contiguous int64 buffer of payload byte offsets
+// (np.ascontiguousarray(..., np.int64)).  8-bit only -- both demuxers in
+// scope (io/mkv.py V_UNCOMPRESSED, io/mp4.py raw fourccs) are 8-bit.
+static PyObject* iring_new(PyTypeObject* type, PyObject* args, PyObject*) {
+    int fd, width, height;
+    const char* layout_s;
+    PyObject* offsets_o;
+    if (!PyArg_ParseTuple(args, "iiisO", &fd, &width, &height, &layout_s,
+                          &offsets_o))
+        return nullptr;
+    int layout;
+    if (strcmp(layout_s, "i420") == 0) layout = LAYOUT_IDX_I420;
+    else if (strcmp(layout_s, "nv12") == 0) layout = LAYOUT_IDX_NV12;
+    else {
+        PyErr_Format(PyExc_ValueError, "unknown layout %s", layout_s);
+        return nullptr;
+    }
+    if (width <= 0 || height <= 0 || width % 2 || height % 2) {
+        PyErr_SetString(PyExc_ValueError, "bad ring geometry");
+        return nullptr;
+    }
+    BufView off;
+    if (!off.acquire(offsets_o, PyBUF_C_CONTIGUOUS)) return nullptr;
+    if (off.view.len % 8 != 0) {
+        PyErr_SetString(PyExc_ValueError,
+                        "offsets must be an int64 buffer");
+        return nullptr;
+    }
+    RingObject* self = (RingObject*)type->tp_alloc(type, 0);
+    if (!self) return nullptr;
+    if (!ring_init_common(self, fd, width, height, 1, 0, layout)) {
+        Py_DECREF(self);
+        return PyErr_NoMemory();
+    }
+    const long long* p = (const long long*)off.view.buf;
+    self->offsets->assign(p, p + off.view.len / 8);
     self->thread = new std::thread(ring_reader, self);
     return (PyObject*)self;
 }
@@ -534,6 +644,10 @@ static PyMethodDef ring_methods[] = {
 };
 
 static PyTypeObject RingType = {
+    PyVarObject_HEAD_INIT(nullptr, 0)
+};
+
+static PyTypeObject IndexedRingType = {
     PyVarObject_HEAD_INIT(nullptr, 0)
 };
 
@@ -577,5 +691,17 @@ PyMODINIT_FUNC PyInit__mfi_native(void) {
     if (PyType_Ready(&RingType) < 0) return nullptr;
     Py_INCREF(&RingType);
     PyModule_AddObject(m, "Y4MRing", (PyObject*)&RingType);
+    IndexedRingType.tp_name = "_mfi_native.IndexedRing";
+    IndexedRingType.tp_basicsize = sizeof(RingObject);
+    IndexedRingType.tp_flags = Py_TPFLAGS_DEFAULT;
+    IndexedRingType.tp_new = iring_new;
+    IndexedRingType.tp_dealloc = ring_dealloc;
+    IndexedRingType.tp_methods = ring_methods;
+    IndexedRingType.tp_doc =
+        "C++ pread demuxer thread over a container frame-offset index "
+        "(MKV/MP4 raw video) filling registered recycled buffers";
+    if (PyType_Ready(&IndexedRingType) < 0) return nullptr;
+    Py_INCREF(&IndexedRingType);
+    PyModule_AddObject(m, "IndexedRing", (PyObject*)&IndexedRingType);
     return m;
 }

@@ -422,6 +422,97 @@ def _flow_impl(geom: FlowGeometry, radius, luma_shift: int,
     return offset, blurred
 
 
+def subpel_refine(geom: FlowGeometry, blurred, f1y, f1u, f1v, f2_probe,
+                  luma_shift: int = 0):
+    """Measured fractional-pel refinement of the (blurred) integer flow --
+    the `subpel_flow` option of the hopperq/hopperxq families.
+
+    The reference's flow is integer-pel by construction (the signed-square
+    commit of adjustOffsetArrayKernel.cl:14 only ever adds whole pixels);
+    hopperq's bilinear warp can consume finer motion, so this measures it:
+    per low-res pixel the SAD cost (y+u+v, the same terms as
+    calcDeltaSumsKernel.cl:96-98 without the bias terms) is evaluated on
+    the 3x3 integer neighborhood of the committed offset and a 2-D
+    quadratic is fit through it; the Newton step -H^-1 g is the sub-pel
+    minimum.  A full 2-D fit (not two 1-D parabolas) because real SAD
+    surfaces have diagonal valleys -- on textured content an x residual
+    leaks into the per-axis y estimate, and the cross term H_xy is what
+    cancels that.
+
+    The per-probe costs are aggregated over the same 8x8 window as the
+    flow blur before fitting: a single pixel's SAD is far too noisy a
+    signal for a curvature estimate (measured: the windowed fit halves
+    the refined field's spatial noise), and windowed cost surfaces are
+    exactly what classic block-matching sub-pixel estimation fits.
+
+    Gates, each zeroing the correction where the fit is meaningless:
+      * d0 == 0 (exact match -- nothing to refine),
+      * H not positive definite (no interior valley: H_xx/H_yy <= 0 or
+        det <= 0).
+
+    Integer math throughout (truncating division, clamped to +-0.5 pel),
+    platform-stable like the rest of the flow.  9 cost probes = 27
+    gathers per low-res pixel, about one pyramid step's worth.
+
+    Returns (2, lh, lw) int32 in 1/64-pel units."""
+    rs, lh, lw = geom.res_scalar, geom.low_h, geom.low_w
+    H, W = geom.height, geom.stride
+    y2, u2, v2 = f2_probe
+    ox, oy = blurred[0], blurred[1]
+    cyg, cxg = jnp.mgrid[0:lh, 0:lw]
+    scaled_cx = (cxg << rs).astype(jnp.int32)
+    scaled_cy = (cyg << rs).astype(jnp.int32)
+
+    def window_avg(p):
+        # 8x8 box average, blurFlowKernel-style taps/padding; >>6 keeps
+        # the Hessian products below inside int32
+        r = BLUR_RADIUS
+        pad = jnp.pad(p[None], ((0, 0), (r, r), (r, r)), mode="symmetric")
+        rows = sum(pad[:, r + ky:r + ky + lh, :] for ky in range(-r, r))
+        acc = sum(rows[:, :, r + kx:r + kx + lw] for kx in range(-r, r))
+        return acc[0] >> 6
+
+    def cost(dx, dy):
+        ncx = mirror_inside(scaled_cx + ox + dx, W)
+        ncy = mirror_inside(scaled_cy + oy + dy, H)
+        y1 = _gather(f1y, ncy, ncx).astype(jnp.int32)
+        u1 = _gather(f1u, ncy >> 1, ncx >> 1).astype(jnp.int32)
+        v1 = _gather(f1v, ncy >> 1, ncx >> 1).astype(jnp.int32)
+        d = jnp.abs(y1 - y2) + jnp.abs(u1 - u2) + jnp.abs(v1 - v2)
+        # 10-bit inputs: drop to the 8-bit scale so the Hessian products
+        # below stay well inside int32 (parabola vertex is scale-free)
+        return window_avg((d >> luma_shift) if luma_shift else d)
+
+    d0 = cost(0, 0)
+    dxm, dxp = cost(-1, 0), cost(1, 0)
+    dym, dyp = cost(0, -1), cost(0, 1)
+    dmm, dpp = cost(-1, -1), cost(1, 1)
+    dmp, dpm = cost(-1, 1), cost(1, -1)   # (dx, dy) naming
+
+    # finite-difference gradient and Hessian of the SAD surface, scaled to
+    # stay integer: gx2 = 2*g_x, hxx = H_xx exactly, hxy4 = 4*H_xy
+    gx2 = dxp - dxm
+    gy2 = dyp - dym
+    hxx = dxp + dxm - 2 * d0
+    hyy = dyp + dym - 2 * d0
+    hxy4 = dpp + dmm - dmp - dpm
+    # Newton step -H^-1 g:
+    #   dx = -(H_yy*g_x - H_xy*g_y) / det,  det = H_xx*H_yy - H_xy^2
+    # With the scales above: numx = 8*(H_yy*g_x - H_xy*g_y), det16 =
+    # 16*det, so dx = -2*numx/det16 and dx64 = -128*numx/det16.  Computed
+    # at 1/32-pel then doubled to keep every product inside int32 for
+    # 8-bit-scale costs (<= 765): |numx*64| < 1.6e9, |det16| < 1.5e8.
+    det16 = 16 * hxx * hyy - hxy4 * hxy4
+    numx = hyy * gx2 * 4 - hxy4 * gy2
+    numy = hxx * gy2 * 4 - hxy4 * gx2
+    fx = -2 * jax.lax.div(numx * 64, jnp.maximum(det16, 1))
+    fy = -2 * jax.lax.div(numy * 64, jnp.maximum(det16, 1))
+    valid = (d0 > 0) & (hxx > 0) & (hyy > 0) & (det16 > 0)
+    fx = jnp.where(valid, jnp.clip(fx, -32, 32), 0)
+    fy = jnp.where(valid, jnp.clip(fy, -32, 32), 0)
+    return jnp.stack([fx, fy])
+
+
 @functools.lru_cache(maxsize=64)
 def _make_flow_traced(geom: FlowGeometry, luma_shift: int,
                       pallas_blur: bool, layers: int):

@@ -150,6 +150,29 @@ def _blend_fix(s12, s21, t, scale_shift: int):
     return (acc >> frac).astype(jnp.int32)
 
 
+def _div_exact(n, d):
+    """Exact `lax.div(n, d)` for int32 n >= 0 and traced int32 scalar
+    d >= 1, as f32 division + integer fixup.
+
+    Why not lax.div: TPU's integer-divide lowering is a COMPILE-TIME sink
+    -- measured on v5e, the two per-pixel lax.div sites alone took the 4K
+    warp program from 4.5 s to 19 s of XLA time (the warp was the whole
+    cold-start story; flow compiles in ~5 s).  This form compiles in
+    seconds and returns bit-identical quotients.
+
+    Exactness: the fixup steps compute the residual n - q*d in exact
+    int32 and nudge q by +-1 until 0 <= r < d, so the result is the true
+    floor quotient as long as the f32 estimate is within +-3 -- which
+    holds for n < 2**24 (exactly representable) and a few-ulp f32 divide,
+    with margin for n up to ~2**25 (levels inputs are <= 255*65535)."""
+    q = jnp.trunc(n.astype(jnp.float32)
+                  / d.astype(jnp.float32)).astype(jnp.int32)
+    for _ in range(3):
+        r = n - q * d
+        q = q + (r >= d).astype(jnp.int32) - (r < 0).astype(jnp.int32)
+    return q
+
+
 def _levels_y(b_int, black, white, scale_shift: int):
     """Exact-integer luma level mapping; see ops/oracle._apply_levels_y for
     the semantics rationale (stable vs TPU's approximate f32 division).
@@ -160,7 +183,7 @@ def _levels_y(b_int, black, white, scale_shift: int):
     w = jnp.round(white).astype(jnp.int32)
     d = jnp.maximum(w - k, 1)
     n = jnp.maximum((b_int - (k << scale_shift)) * 255, 0)
-    return jnp.minimum(jax.lax.div(n, d), 255 << scale_shift)
+    return jnp.minimum(_div_exact(n, d), 255 << scale_shift)
 
 
 def _levels_uv(b_int, white, scale_shift: int):
@@ -168,7 +191,7 @@ def _levels_uv(b_int, white, scale_shift: int):
     w = jnp.maximum(jnp.round(white).astype(jnp.int32), 1)
     m = 128 << scale_shift
     n = jnp.maximum((b_int - m) * 255 + m * w, 0)
-    return jnp.minimum(jax.lax.div(n, w), 255 << scale_shift)
+    return jnp.minimum(_div_exact(n, w), 255 << scale_shift)
 
 
 def _visualize_flow(off_x, off_y, curr_8, channel: int, res_impact: int):
@@ -224,13 +247,24 @@ def _visualize_flow(off_x, off_y, curr_8, channel: int, res_impact: int):
                               0.0, 255.0)).astype(jnp.int32)
 
 
-def _warp_fields(geom: FlowGeometry, blurred):
+def _warp_fields(geom: FlowGeometry, blurred, frac=None):
     """The t-independent part of the warp: forward + reverse flow sampled
     onto the luma and chroma output grids.  Shared across all blend
     positions of one source pair (one flow calc serves numIntFrames warps,
-    vf_HopperRender.c:481-500)."""
-    ox21_lo, oy21_lo = _reverse_flow(geom, blurred)
-    return {
+    vf_HopperRender.c:481-500).
+
+    `frac` is the optional (2, lh, lw) 1/64-pel refinement field
+    (ops/flow.subpel_refine); its reverse lookup rides the SAME low-res
+    positions as the integer reverse flow, and it is upsampled onto the
+    same output grids (FX12/FY12/... keys)."""
+    lh, lw, rs = geom.low_h, geom.low_w, geom.res_scalar
+    ox12, oy12 = blurred[0], blurred[1]
+    ly, lx = jnp.mgrid[0:lh, 0:lw]
+    bscy = jnp.clip(ly - (oy12 >> rs), 0, lh - 1)
+    bscx = jnp.clip(lx - (ox12 >> rs), 0, lw - 1)
+    ox21_lo = _gather(ox12, bscy, bscx)
+    oy21_lo = _gather(oy12, bscy, bscx)
+    fields = {
         "OX12": _upsample_y(geom, blurred[0]),
         "OY12": _upsample_y(geom, blurred[1]),
         "OX21": _upsample_y(geom, ox21_lo),
@@ -240,6 +274,21 @@ def _warp_fields(geom: FlowGeometry, blurred):
         "OX21c": _upsample_uv(geom, ox21_lo),
         "OY21c": _upsample_uv(geom, oy21_lo),
     }
+    if frac is not None:
+        fx12, fy12 = frac[0], frac[1]
+        fx21_lo = _gather(fx12, bscy, bscx)
+        fy21_lo = _gather(fy12, bscy, bscx)
+        fields.update({
+            "FX12": _upsample_y(geom, fx12),
+            "FY12": _upsample_y(geom, fy12),
+            "FX21": _upsample_y(geom, fx21_lo),
+            "FY21": _upsample_y(geom, fy21_lo),
+            "FX12c": _upsample_uv(geom, fx12),
+            "FY12c": _upsample_uv(geom, fy12),
+            "FX21c": _upsample_uv(geom, fx21_lo),
+            "FY21c": _upsample_uv(geom, fy21_lo),
+        })
+    return fields
 
 
 def _warp_impl(geom: FlowGeometry, mode: int, scale_shift: int, dtype,
@@ -292,10 +341,22 @@ def _warp_sample(geom: FlowGeometry, mode: int, scale_shift: int, dtype,
     elif mode == WARPED_FRAME_21:
         out_y = _gather(f2y, ncy21, ncx21)
     elif use_bilinear:
-        p12x = (cxg << 6) + _iround(OX12.astype(jnp.float32) * (fs12 * 64))
-        p12y = (cyg << 6) + _iround(OY12.astype(jnp.float32) * (fs12 * 64))
-        p21x = (cxg << 6) - _iround(OX21.astype(jnp.float32) * (fs21 * 64))
-        p21y = (cyg << 6) - _iround(OY21.astype(jnp.float32) * (fs21 * 64))
+        if "FX12" in fields:
+            # measured sub-pel flow (subpel_flow): integer + 1/64 frac
+            # combined in fixed point before the blend-time scale
+            p12x = (cxg << 6) + _iround(
+                ((OX12 << 6) + fields["FX12"]).astype(jnp.float32) * fs12)
+            p12y = (cyg << 6) + _iround(
+                ((OY12 << 6) + fields["FY12"]).astype(jnp.float32) * fs12)
+            p21x = (cxg << 6) - _iround(
+                ((OX21 << 6) + fields["FX21"]).astype(jnp.float32) * fs21)
+            p21y = (cyg << 6) - _iround(
+                ((OY21 << 6) + fields["FY21"]).astype(jnp.float32) * fs21)
+        else:
+            p12x = (cxg << 6) + _iround(OX12.astype(jnp.float32) * (fs12 * 64))
+            p12y = (cyg << 6) + _iround(OY12.astype(jnp.float32) * (fs12 * 64))
+            p21x = (cxg << 6) - _iround(OX21.astype(jnp.float32) * (fs21 * 64))
+            p21y = (cyg << 6) - _iround(OY21.astype(jnp.float32) * (fs21 * 64))
         s12q = _bilinear_sample(f1y, p12y, p12x, H, Wa).astype(jnp.float32)
         s21q = _bilinear_sample(f2y, p21y, p21x, H, Wa).astype(jnp.float32)
         val = (s12q * fs21 + s21q * fs12) * np.float32(1.0 / 4096.0)
@@ -347,10 +408,25 @@ def _warp_sample(geom: FlowGeometry, mode: int, scale_shift: int, dtype,
         # samples, vertical off_y/2 chroma rows
         pxg = (cxg >> 1) << 6
         pyg = cyg << 6
-        p12x = pxg + _iround(OX12c.astype(jnp.float32) * (fs12 * 32))
-        p12y = pyg + _iround(OY12c.astype(jnp.float32) * (fs12 * 32))
-        p21x = pxg - _iround(OX21c.astype(jnp.float32) * (fs21 * 32))
-        p21y = pyg - _iround(OY21c.astype(jnp.float32) * (fs21 * 32))
+        if "FX12c" in fields:
+            # full-res 1/64 displacement halved into chroma space
+            p12x = pxg + _iround(
+                ((OX12c << 6) + fields["FX12c"]).astype(jnp.float32)
+                * (fs12 * 0.5))
+            p12y = pyg + _iround(
+                ((OY12c << 6) + fields["FY12c"]).astype(jnp.float32)
+                * (fs12 * 0.5))
+            p21x = pxg - _iround(
+                ((OX21c << 6) + fields["FX21c"]).astype(jnp.float32)
+                * (fs21 * 0.5))
+            p21y = pyg - _iround(
+                ((OY21c << 6) + fields["FY21c"]).astype(jnp.float32)
+                * (fs21 * 0.5))
+        else:
+            p12x = pxg + _iround(OX12c.astype(jnp.float32) * (fs12 * 32))
+            p12y = pyg + _iround(OY12c.astype(jnp.float32) * (fs12 * 32))
+            p21x = pxg - _iround(OX21c.astype(jnp.float32) * (fs21 * 32))
+            p21y = pyg - _iround(OY21c.astype(jnp.float32) * (fs21 * 32))
         wc = Wa >> 1
 
         def bsamp(plane, py, px, par):

@@ -122,6 +122,21 @@ class EngineConfig:
     #              whose per-pair output counts vary never hit a compile
     #              stall after the first few buckets
     batch_shapes: str = "exact"
+    # how the N per-pair warps are expressed inside the fused program:
+    #   "vmap" = batched warp (default)
+    #   "scan" = lax.map over the blend axis; bit-identical outputs.
+    # MEASURED on v5e (4K fused program, fresh cache): scan does NOT cut
+    # compile time -- the cost was never the unroll but the levels
+    # mapping's integer divides (see ops/warp._div_exact, whose fix took
+    # the fused cold compile 25-30s -> ~6s per batch size); scan measured
+    # 27-36s vs vmap's 18-22s on the warp-only program.  The knob stays
+    # for re-measurement on future hardware.
+    warp_loop: str = "vmap"
+    # measured fractional-pel flow for the bilinear families (hopperq /
+    # hopperxq): parabolic sub-pel refinement of the blurred integer flow
+    # (ops/flow.subpel_refine) feeding the 1/64-pel warp.  Off by default:
+    # it changes hopperq/hopperxq outputs (a quality choice, not parity).
+    subpel_flow: bool = False
 
     def __post_init__(self):
         # startup validation mirroring vf_HopperRender_create
@@ -142,6 +157,8 @@ class EngineConfig:
             raise ValueError("split_timing must be auto|always|off")
         if self.batch_shapes not in ("exact", "bucket"):
             raise ValueError("batch_shapes must be exact|bucket")
+        if self.warp_loop not in ("vmap", "scan"):
+            raise ValueError("warp_loop must be vmap|scan")
 
 
 class OutputFrame:
@@ -202,10 +219,13 @@ class _DeviceFrame:
 
 def _flow_stage(geom, scale_shift, scene_enabled, model, pallas_blur,
                 f1y, f1u, f1v, f2y, f2u, f2v, radius, ds, nbs,
-                scene_threshold):
+                scene_threshold, subpel: bool = False):
     """Traced flow half of a source pair: scene score + hierarchical flow.
-    Returns (blurred flow, cut_score)."""
-    from mpv_frame_interpolator_tpu.ops.flow import _flow_impl
+    Returns (blurred flow, frac or None, cut_score).  `frac` is the
+    1/64-pel refinement field when subpel_flow is enabled for a bilinear
+    family (ops/flow.subpel_refine), else None."""
+    from mpv_frame_interpolator_tpu.ops.flow import (
+        _flow_impl, _subsampled_f2, subpel_refine)
     from mpv_frame_interpolator_tpu.ops.oracle import MAX_SEARCH_RADIUS
     if scene_enabled:
         cut_score = scene_mod.cut_score(f1y, f2y, geom.res_scalar,
@@ -213,22 +233,43 @@ def _flow_stage(geom, scale_shift, scene_enabled, model, pallas_blur,
     else:
         cut_score = jnp.float32(0.0)
 
+    frac = None
     if model in ("hopper", "hopperx", "hopperq", "hopperxq"):
-        _, blurred = _flow_impl(geom, radius, scale_shift,
-                                f1y, f1u, f1v, f2y, f2u, f2v,
-                                ds, nbs, layers=MAX_SEARCH_RADIUS,
-                                pallas_blur=pallas_blur)
+        offset, blurred = _flow_impl(geom, radius, scale_shift,
+                                     f1y, f1u, f1v, f2y, f2u, f2v,
+                                     ds, nbs, layers=MAX_SEARCH_RADIUS,
+                                     pallas_blur=pallas_blur)
+        if subpel and model in ("hopperq", "hopperxq"):
+            # refine the UNBLURRED committed flow -- that's the SAD argmin
+            # where a 3x3 quadratic fit is meaningful -- then blur the
+            # combined 1/64-pel field, so the box blur averages with
+            # fractional precision instead of truncating to whole pels.
+            from mpv_frame_interpolator_tpu.ops.flow import blur_flow
+            frac_raw = subpel_refine(geom, offset, f1y, f1u, f1v,
+                                     _subsampled_f2(geom, f2y, f2u, f2v),
+                                     luma_shift=scale_shift)
+            b64 = blur_flow((offset << 6) + frac_raw,
+                            geom.low_h, geom.low_w)
+            blurred = b64 >> 6                 # floor decomposition
+            frac = b64 - (blurred << 6)        # in [0, 63]
     else:
         # blend / repeat families: null flow field (models/__init__.py)
         blurred = jnp.zeros((2, geom.low_h, geom.low_w), jnp.int32)
-    return blurred, cut_score
+    return blurred, frac, cut_score
 
 
 def _warp_stage(geom, mode, scale_shift, cut_policy, scene_enabled, model,
                 f1y, f1u, f1v, f2y, f2u, f2v, blurred, cut_score, ts,
-                black, white, scene_threshold):
+                black, white, scene_threshold, warp_loop: str = "vmap",
+                frac=None):
     """Traced warp half: scene-cut folding + N batched warps + NV12
-    re-interleave.  Returns (y batch, uv batch)."""
+    re-interleave.  Returns (y batch, uv batch).
+
+    warp_loop="scan" expresses the blend axis as lax.map (scan): the warp
+    body is traced/compiled once per program instead of unrolled N times,
+    so cold-start compile time stops scaling with the output batch size.
+    Outputs are bit-identical (same ops per position, no cross-position
+    math)."""
     dtype = jnp.uint16 if scale_shift else jnp.uint8
     if scene_enabled:
         cut = cut_score > scene_threshold
@@ -236,6 +277,8 @@ def _warp_stage(geom, mode, scale_shift, cut_policy, scene_enabled, model,
         cut = jnp.asarray(False)
 
     blurred_w = jnp.where(cut, jnp.zeros_like(blurred), blurred)
+    if frac is not None:
+        frac = jnp.where(cut, jnp.zeros_like(frac), frac)
     if cut_policy == "nearest":
         ts_cut = jnp.where(ts >= 0.5, 1.0, 0.0).astype(jnp.float32)
     else:  # hold the previous frame
@@ -246,14 +289,16 @@ def _warp_stage(geom, mode, scale_shift, cut_policy, scene_enabled, model,
         # interpolation -- what a plain player displays)
         ts_w = jnp.where(ts_w >= 0.5, 1.0, 0.0).astype(jnp.float32)
 
+    loop = jax.lax.map if warp_loop == "scan" else (
+        lambda f, xs: jax.vmap(f)(xs))
     if mode in (warp_ops.SIDE_BY_SIDE_1, warp_ops.SIDE_BY_SIDE_2):
         def one(t):
             return warp_ops._warp_impl(
                 geom, mode, scale_shift, dtype,
                 f1y, f1u, f1v, f2y, f2u, f2v, blurred_w, t, black, white)
-        y, u, v = jax.vmap(one)(ts_w)
+        y, u, v = loop(one, ts_w)
     else:
-        fields = warp_ops._warp_fields(geom, blurred_w)
+        fields = warp_ops._warp_fields(geom, blurred_w, frac)
 
         def one(t):
             return warp_ops._warp_sample(
@@ -261,7 +306,7 @@ def _warp_stage(geom, mode, scale_shift, cut_policy, scene_enabled, model,
                 f1y, f1u, f1v, f2y, f2u, f2v, fields, t, black, white,
                 occlusion_aware=(model in ("hopperx", "hopperxq")),
                 bilinear=(model in ("hopperq", "hopperxq")))
-        y, u, v = jax.vmap(one)(ts_w)
+        y, u, v = loop(one, ts_w)
     n, hc, wc = u.shape
     uv = jnp.stack((u, v), axis=3).reshape(n, hc, wc * 2)
     return y, uv
@@ -271,7 +316,8 @@ def _warp_stage(geom, mode, scale_shift, cut_policy, scene_enabled, model,
 def _make_source_step(geom: FlowGeometry, mode: int,
                       scale_shift: int, cut_policy: str,
                       scene_enabled: bool, model: str = "hopper",
-                      pallas_blur: bool = False):
+                      pallas_blur: bool = False, warp_loop: str = "vmap",
+                      subpel: bool = False):
     """ONE fused device dispatch per source pair: scene-cut score ->
     hierarchical flow -> N batched warps -> NV12 re-interleave.
 
@@ -287,13 +333,14 @@ def _make_source_step(geom: FlowGeometry, mode: int,
              white, scene_threshold):
         f1u, f1v = f1uv[:, 0::2], f1uv[:, 1::2]
         f2u, f2v = f2uv[:, 0::2], f2uv[:, 1::2]
-        blurred, cut_score = _flow_stage(
+        blurred, frac, cut_score = _flow_stage(
             geom, scale_shift, scene_enabled, model, pallas_blur,
-            f1y, f1u, f1v, f2y, f2u, f2v, radius, ds, nbs, scene_threshold)
+            f1y, f1u, f1v, f2y, f2u, f2v, radius, ds, nbs, scene_threshold,
+            subpel)
         y, uv = _warp_stage(
             geom, mode, scale_shift, cut_policy, scene_enabled, model,
             f1y, f1u, f1v, f2y, f2u, f2v, blurred, cut_score, ts,
-            black, white, scene_threshold)
+            black, white, scene_threshold, warp_loop, frac)
         return y, uv, blurred, cut_score
 
     return jax.jit(step)
@@ -301,31 +348,35 @@ def _make_source_step(geom: FlowGeometry, mode: int,
 
 @functools.lru_cache(maxsize=32)
 def _make_flow_step(geom: FlowGeometry, scale_shift: int,
-                    scene_enabled: bool, model: str, pallas_blur: bool):
+                    scene_enabled: bool, model: str, pallas_blur: bool,
+                    subpel: bool = False):
     """Flow-only program for split-timing (opticalFlowCalc.c:111-122
-    OFC-event analog).  Same traced code as the fused step's first half."""
+    OFC-event analog).  Same traced code as the fused step's first half.
+    Returns (blurred, frac-or-None, cut_score)."""
     def step(f1y, f1uv, f2y, f2uv, radius, ds, nbs, scene_threshold):
         f1u, f1v = f1uv[:, 0::2], f1uv[:, 1::2]
         f2u, f2v = f2uv[:, 0::2], f2uv[:, 1::2]
         return _flow_stage(geom, scale_shift, scene_enabled, model,
                            pallas_blur, f1y, f1u, f1v, f2y, f2u, f2v,
-                           radius, ds, nbs, scene_threshold)
+                           radius, ds, nbs, scene_threshold, subpel)
     return jax.jit(step)
 
 
 @functools.lru_cache(maxsize=64)
 def _make_warp_step(geom: FlowGeometry, mode: int, scale_shift: int,
-                    cut_policy: str, scene_enabled: bool, model: str):
+                    cut_policy: str, scene_enabled: bool, model: str,
+                    warp_loop: str = "vmap"):
     """Warp-only program for split-timing (opticalFlowCalc.c:192-201
-    warp-event analog).  Same traced code as the fused step's second half."""
-    def step(f1y, f1uv, f2y, f2uv, blurred, cut_score, ts, black,
+    warp-event analog).  Same traced code as the fused step's second half.
+    `frac` is the subpel field or None (None is a valid jit pytree)."""
+    def step(f1y, f1uv, f2y, f2uv, blurred, frac, cut_score, ts, black,
              white, scene_threshold):
         f1u, f1v = f1uv[:, 0::2], f1uv[:, 1::2]
         f2u, f2v = f2uv[:, 0::2], f2uv[:, 1::2]
         return _warp_stage(geom, mode, scale_shift, cut_policy,
                            scene_enabled, model, f1y, f1u, f1v, f2y, f2u,
                            f2v, blurred, cut_score, ts, black, white,
-                           scene_threshold)
+                           scene_threshold, warp_loop, frac)
     return jax.jit(step)
 
 
@@ -424,7 +475,9 @@ class InterpolationEngine:
         step = _make_source_step(self.geom, self.frame_output_mode,
                                  self._scale_shift, self.config.cut_policy,
                                  self.scene.enabled, self.config.model,
-                                 self.config.pallas_blur)
+                                 self.config.pallas_blur,
+                                 self.config.warp_loop,
+                                 self.config.subpel_flow)
         warmed = 0
         if self.config.batch_shapes == "bucket":
             sizes = {_bucket_size(n) for n in sizes}
@@ -595,7 +648,8 @@ class InterpolationEngine:
             step = _make_source_step(
                 self.geom, self.frame_output_mode, self._scale_shift,
                 self.config.cut_policy, self.scene.enabled,
-                self.config.model, self.config.pallas_blur)
+                self.config.model, self.config.pallas_blur,
+                self.config.warp_loop, self.config.subpel_flow)
             y, uv, blurred, cut_score = step(*args, ts, *knobs, *levels,
                                              thr)
             dur = None
@@ -644,10 +698,12 @@ class InterpolationEngine:
     def _split_fns(self):
         flow_fn = _make_flow_step(self.geom, self._scale_shift,
                                   self.scene.enabled, self.config.model,
-                                  self.config.pallas_blur)
+                                  self.config.pallas_blur,
+                                  self.config.subpel_flow)
         warp_fn = _make_warp_step(self.geom, self.frame_output_mode,
                                   self._scale_shift, self.config.cut_policy,
-                                  self.scene.enabled, self.config.model)
+                                  self.scene.enabled, self.config.model,
+                                  self.config.warp_loop)
         return flow_fn, warp_fn
 
     def _record_split(self, flow_t: float, warp_t: float, n_outputs: int):
@@ -659,10 +715,10 @@ class InterpolationEngine:
                     n_outputs: int):
         flow_fn, warp_fn = self._split_fns()
         t0 = time.perf_counter()
-        blurred, cut_score = flow_fn(*args, *knobs, thr)
+        blurred, frac, cut_score = flow_fn(*args, *knobs, thr)
         jax.block_until_ready(blurred)
         t1 = time.perf_counter()
-        y, uv = warp_fn(*args, blurred, cut_score, ts, *levels, thr)
+        y, uv = warp_fn(*args, blurred, frac, cut_score, ts, *levels, thr)
         jax.block_until_ready(uv)
         t2 = time.perf_counter()
         if was_warm:
@@ -678,15 +734,15 @@ class InterpolationEngine:
         steady state."""
         flow_fn, warp_fn = self._split_fns()
         # warm both programs so compile time never lands in the numbers
-        blurred, cut_score = flow_fn(*args, *knobs, thr)
+        blurred, frac, cut_score = flow_fn(*args, *knobs, thr)
         jax.block_until_ready(blurred)
-        jax.block_until_ready(warp_fn(*args, blurred, cut_score, ts,
+        jax.block_until_ready(warp_fn(*args, blurred, frac, cut_score, ts,
                                       *levels, thr))
         t0 = time.perf_counter()
-        blurred, cut_score = flow_fn(*args, *knobs, thr)
+        blurred, frac, cut_score = flow_fn(*args, *knobs, thr)
         jax.block_until_ready(blurred)
         t1 = time.perf_counter()
-        jax.block_until_ready(warp_fn(*args, blurred, cut_score, ts,
+        jax.block_until_ready(warp_fn(*args, blurred, frac, cut_score, ts,
                                       *levels, thr))
         t2 = time.perf_counter()
         self._record_split(t1 - t0, t2 - t1, n_outputs)
