@@ -102,10 +102,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "the Python reader (python), or native-when-built "
                         "(auto)")
     p.add_argument("--subpel-flow", action="store_true",
-                   help="measured fractional-pel flow refinement for the "
-                        "bilinear families (hopperq/hopperxq): parabolic "
-                        "sub-pel fit of the SAD surface feeding a 1/64-pel "
-                        "warp (quality option; changes their output)")
+                   help="measured fractional-pel flow refinement: "
+                        "parabolic sub-pel fit of the SAD surface; "
+                        "hopperq/hopperxq warp at 1/64-pel, hopper/hopperx "
+                        "get a round-to-nearest field (quality option; "
+                        "changes the flow families' output)")
     p.add_argument("--warp-loop", default="vmap", choices=("vmap", "scan"),
                    help="how the per-pair warp batch is expressed in the "
                         "fused program (bit-identical outputs; compile-time "

@@ -132,10 +132,13 @@ class EngineConfig:
     # 27-36s vs vmap's 18-22s on the warp-only program.  The knob stays
     # for re-measurement on future hardware.
     warp_loop: str = "vmap"
-    # measured fractional-pel flow for the bilinear families (hopperq /
-    # hopperxq): parabolic sub-pel refinement of the blurred integer flow
-    # (ops/flow.subpel_refine) feeding the 1/64-pel warp.  Off by default:
-    # it changes hopperq/hopperxq outputs (a quality choice, not parity).
+    # measured fractional-pel flow (ops/flow.subpel_refine): parabolic
+    # sub-pel refinement of the committed integer flow.  The bilinear
+    # families (hopperq/hopperxq) consume it at 1/64-pel in the warp; the
+    # integer families (hopper/hopperx) consume it as a round-to-nearest
+    # flow field (vs the default floor-of-integer-blur).  Off by default:
+    # it changes the flow families' outputs (a quality choice, not
+    # parity).
     subpel_flow: bool = False
 
     def __post_init__(self):
@@ -239,7 +242,7 @@ def _flow_stage(geom, scale_shift, scene_enabled, model, pallas_blur,
                                      f1y, f1u, f1v, f2y, f2u, f2v,
                                      ds, nbs, layers=MAX_SEARCH_RADIUS,
                                      pallas_blur=pallas_blur)
-        if subpel and model in ("hopperq", "hopperxq"):
+        if subpel:
             # refine the UNBLURRED committed flow -- that's the SAD argmin
             # where a 3x3 quadratic fit is meaningful -- then blur the
             # combined 1/64-pel field, so the box blur averages with
@@ -250,8 +253,15 @@ def _flow_stage(geom, scale_shift, scene_enabled, model, pallas_blur,
                                      luma_shift=scale_shift)
             b64 = blur_flow((offset << 6) + frac_raw,
                             geom.low_h, geom.low_w)
-            blurred = b64 >> 6                 # floor decomposition
-            frac = b64 - (blurred << 6)        # in [0, 63]
+            if model in ("hopperq", "hopperxq"):
+                blurred = b64 >> 6             # floor decomposition
+                frac = b64 - (blurred << 6)    # in [0, 63]
+            else:
+                # integer families sample at whole pels; the fractional
+                # measurement still helps as round-to-nearest (the plain
+                # path is a floor-of-integer-blur; measured +0.3..+3.3 dB
+                # on non-uniform motion, tests/test_subpel.py)
+                blurred = (b64 + 32) >> 6
     else:
         # blend / repeat families: null flow field (models/__init__.py)
         blurred = jnp.zeros((2, geom.low_h, geom.low_w), jnp.int32)

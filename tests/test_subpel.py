@@ -151,6 +151,28 @@ class TestSubpelQuality:
         p_sub = psnr(central(y_sub), central(truth))
         assert p_sub > p_int - 0.5, (p_int, p_sub)
 
+    def test_zoom_improves_hopper_rounded(self):
+        """Integer families consume the measured field as round-to-nearest
+        (vs floor-of-integer-blur); on non-uniform motion the better-
+        centered field must not lose and should win at mid-blend."""
+        f1, f2 = zoom_frame(0.0), zoom_frame(1.0)
+        t = 0.5
+        truth = zoom_frame(t).y
+        y_int, _ = interpolate(f1, f2, t, False, model="hopper")
+        y_sub, _ = interpolate(f1, f2, t, True, model="hopper")
+        p_int = psnr(central(y_int), central(truth))
+        p_sub = psnr(central(y_sub), central(truth))
+        assert p_sub > p_int + 0.5, (p_int, p_sub)
+
+    def test_hopperx_subpel_not_degraded(self):
+        f1, f2 = pan_frame(0.0), pan_frame(1.0)
+        truth = pan_frame(0.5).y
+        y_int, _ = interpolate(f1, f2, 0.5, False, model="hopperx")
+        y_sub, _ = interpolate(f1, f2, 0.5, True, model="hopperx")
+        p_int = psnr(central(y_int), central(truth))
+        p_sub = psnr(central(y_sub), central(truth))
+        assert p_sub > p_int - 0.8, (p_int, p_sub)
+
     def test_flag_off_unchanged_and_default_off(self):
         f1, f2 = pan_frame(0.0), pan_frame(1.0)
         a = interpolate(f1, f2, 0.5, subpel=False)
