@@ -120,6 +120,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--end", type=float, default=None,
                    help="stop playback at this source pts (seconds; mpv "
                         "--end analog)")
+    p.add_argument("--play-direction", default="forward",
+                   choices=("forward", "backward"),
+                   help="backward plays a seekable source last-to-first "
+                        "(chunked reverse reads, mpv --play-direction "
+                        "analog); pipes spool through the cache first")
     p.add_argument("--loop", type=int, default=0,
                    help="replay the source N more times after EOF "
                         "(-1 = forever; --loop-file analog; needs a "
@@ -247,6 +252,17 @@ def main(argv=None) -> int:
         source = CachedSource(source)
         log.info("seekable frame cache enabled (demuxer-cache analog)")
 
+    if args.play_direction == "backward":
+        from mpv_frame_interpolator_tpu.io.reverse import (
+            ReversedSource, ReverseError)
+        if args.start is not None:
+            log.warning("--start is ignored with --play-direction=backward")
+        try:
+            source = ReversedSource(source)
+        except ReverseError as e:
+            raise SystemExit(f"--play-direction=backward: {e}")
+        log.info("backward playback (chunked reverse reads)")
+
     config = EngineConfig(
         display_fps=args.display_fps,
         frame_output_mode=mode,
@@ -273,7 +289,9 @@ def main(argv=None) -> int:
     # watch-later resume (player/configfiles.c analog) for file sources
     is_file = not args.source.startswith("synthetic:")
     start_pts = args.start
-    if is_file and not args.no_resume:
+    if args.play_direction == "backward":
+        start_pts = None     # reversed timeline; position resume is N/A
+    elif is_file and not args.no_resume:
         from mpv_frame_interpolator_tpu.api import Player
         from mpv_frame_interpolator_tpu.pipeline import resume as _resume
         state = _resume.load(args.source)

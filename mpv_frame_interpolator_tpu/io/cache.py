@@ -99,6 +99,21 @@ class CachedSource:
     def seekable(self) -> bool:
         return True
 
+    def n_frames(self) -> int:
+        """Total frame count; drains the live stream into the spool first
+        (an unseekable stream's length is unknowable without reading it --
+        same cost mpv's backward-play cache pays)."""
+        while self._pull() is not None:
+            pass
+        return len(self._index)
+
+    def seek_frame(self, n: int):
+        while len(self._index) <= n:
+            if self._pull() is None:
+                break
+        self._pos = min(max(int(n), self._first),
+                        max(len(self._index) - 1, 0))
+
     def seek_pts(self, pts: float) -> float:
         """Seek inside the cached range (replay) or forward (consume)."""
         # forward: consume the live stream until the target is cached
