@@ -232,6 +232,23 @@ class Player:
             from mpv_frame_interpolator_tpu.control.applet import (
                 apply_command_code)
             return apply_command_code(self.engine, int(args[0]))
+        if name == "screenshot":
+            # grab the current video frame as a color PNG
+            # (player/screenshot.c screenshot command; encoder is the
+            # in-repo utils/png.py since FFmpeg may be absent).  Optional
+            # arg = output path; default mpv-style shot_NNNN.png in cwd.
+            if self.pipeline is None or self.pipeline.last_output is None:
+                raise PropertyError("no frame to screenshot yet")
+            from mpv_frame_interpolator_tpu.io.convert import frame_to_rgb
+            from mpv_frame_interpolator_tpu.utils.png import write_png
+            out = self.pipeline.last_output
+            if args and args[0]:
+                path = str(args[0])
+            else:
+                n = getattr(self, "_shot_count", 0)
+                self._shot_count = n + 1
+                path = f"shot_{n:04d}.png"
+            return write_png(path, frame_to_rgb(out.to_video_frame()))
         raise PropertyError(f"unknown command {name!r}")
 
     # ---- frames ----------------------------------------------------------

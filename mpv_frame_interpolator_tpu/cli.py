@@ -85,6 +85,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "OSD stats analog)")
     p.add_argument("--dump-pgm", default="",
                    help="dump luma planes as PGM files into this directory")
+    p.add_argument("--dump-png", default="",
+                   help="dump outputs as color PNGs into this directory "
+                        "(screenshot-subsystem analog; dependency-free "
+                        "encoder)")
     p.add_argument("--applet-fifo", default="",
                    help="serve the HopperRender settings-applet protocol on "
                         "this FIFO path (e.g. /tmp/hopperrender)")
@@ -339,6 +343,8 @@ def main(argv=None) -> int:
                                  P010 if args.p010 else NV12)
     elif args.dump_pgm:
         sink = sinks.PgmDumpSink(args.dump_pgm)
+    elif args.dump_png:
+        sink = sinks.PngDumpSink(args.dump_png)
     else:
         sink = sinks.NullSink()
 

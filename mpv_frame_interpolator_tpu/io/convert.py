@@ -77,6 +77,33 @@ def rgb_to_frame(rgb: np.ndarray, pixfmt: str = NV12, pts: float = 0.0,
     return i420_to_frame(y8, u, v, pixfmt, pts, nominal_fps)
 
 
+def frame_to_rgb(frame: VideoFrame) -> np.ndarray:
+    """4:2:0 NV12/P010 frame -> (H, W, 3) uint8 RGB (BT.709 limited) --
+    the screenshot conversion (player/screenshot.c uses swscale for
+    this).  Chroma is nearest-doubled (the inverse of rgb_to_frame's box
+    subsample is unrecoverable; nearest matches what the engine's own
+    warp addressing assumes for 4:2:0)."""
+    w = frame.fmt.width
+    if frame.fmt.pixfmt == P010:
+        y = (frame.y[:, :w] >> 8).astype(np.float32)
+        uv = (frame.uv[:, :w] >> 8).astype(np.float32)
+    else:
+        y = frame.y[:, :w].astype(np.float32)
+        uv = frame.uv[:, :w].astype(np.float32)
+    cb = np.repeat(np.repeat(uv[:, 0::2], 2, axis=0), 2, axis=1)
+    cr = np.repeat(np.repeat(uv[:, 1::2], 2, axis=0), 2, axis=1)
+    h = frame.fmt.height
+    cb, cr = cb[:h, :w], cr[:h, :w]
+    yl = (y - 16.0) * (255.0 / 219.0)
+    pb = (cb - 128.0) * (255.0 / 224.0)
+    pr = (cr - 128.0) * (255.0 / 224.0)
+    r = yl + 2.0 * (1.0 - _KR) * pr
+    b = yl + 2.0 * (1.0 - _KB) * pb
+    g = (yl - _KR * r - _KB * b) / _KG
+    return np.clip(np.stack([r, g, b], axis=-1) + 0.5,
+                   0, 255).astype(np.uint8)
+
+
 def autoconvert(frame: VideoFrame, want_pixfmt: str,
                 want_width: int = 0, want_height: int = 0) -> VideoFrame:
     """Entry point matching mp_autoconvert semantics: return the frame

@@ -123,6 +123,30 @@ class OsdSink:
         self.inner.close()
 
 
+class PngDumpSink:
+    """Dump every output as a COLOR PNG (BT.709 YUV->RGB) -- the
+    image-file half of the screenshot subsystem (player/screenshot.c ->
+    image_writer.c; PNG encoded in-repo, utils/png.py, since FFmpeg may
+    be absent)."""
+
+    def __init__(self, directory: str, prefix: str = "frame"):
+        os.makedirs(directory, exist_ok=True)
+        self.directory = directory
+        self.prefix = prefix
+        self.count = 0
+
+    def write(self, frame: OutputFrame):
+        from mpv_frame_interpolator_tpu.io.convert import frame_to_rgb
+        from mpv_frame_interpolator_tpu.utils.png import write_png
+        path = os.path.join(self.directory,
+                            f"{self.prefix}_{self.count:06d}.png")
+        write_png(path, frame_to_rgb(frame.to_video_frame()))
+        self.count += 1
+
+    def close(self):
+        pass
+
+
 class PgmDumpSink:
     def __init__(self, directory: str, prefix: str = "frame"):
         os.makedirs(directory, exist_ok=True)

@@ -124,6 +124,9 @@ class Pipeline:
         self.underruns = 0
         self.frames_in = 0
         self.frames_out = 0
+        # the most recent output that reached the sink (the "current
+        # video frame" the screenshot command grabs, player/screenshot.c)
+        self.last_output = None
         self.seeks = 0
         self._pending_seek: Optional[float] = None
         self._commands: "queue.Queue" = queue.Queue()
@@ -325,6 +328,7 @@ class Pipeline:
                         if info.dropped:
                             continue
                     self.sink.write(out)
+                    self.last_output = out
                     self.frames_out += 1
                 if self.present is not None:
                     self._maybe_adapt_display_rate()
