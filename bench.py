@@ -9,6 +9,14 @@ contract is "real-time at the display rate", BASELINE.md: it publishes no
 numbers and self-degrades when it can't keep up, vf_HopperRender.c:326-345).
 A value >= 1.0 means sustained real-time interpolation.
 
+Timing honesty: throughput is measured against REAL device completion
+(amortized multi-span push + one data-dependent scalar readback, minus
+the measured sync RTT).  On this sandbox's relay, jax.block_until_ready
+acks BEFORE execution finishes, so per-output block loops (used before
+round 2's correction) time the dispatch path, not the chip; see
+_honest_sync.  p99_block/e2e keep the dispatch-paced view on purpose
+(host-overhead signal).
+
 The line also carries:
   default_config_fps  same pipeline with the PRODUCT default config
                       (measure_timing=True: push() blocks on each pair's
@@ -46,40 +54,115 @@ def build_engine(dst_fps, radius, mode, model, measure_timing):
         measure_timing=measure_timing,
         frame_output_mode=mode,
         model=model,
+        # the honest final sync waits on the in-order device queue; a
+        # background-precompile thread would park minutes of remote
+        # compiles in front of it (warmup pushes compile what's needed)
+        background_precompile=False,
     ))
 
 
-def measure_staged(engine, frames, warmup):
-    """Per-pair dispatch over device-staged sources.  Two latency views:
-    block = per-output device sync (the reference's blocking downloadFrame
-    analog, opticalFlowCalc.c:109-124); e2e = source arrival -> each output
-    ready (the BASELINE p99 metric)."""
+def _honest_sync(arr, timeout=90.0):
+    """Wait for ACTUAL device completion; True on success, False if the
+    relay's readback path is too degraded to use (timeout).
+
+    On this sandbox's axon relay, jax.block_until_ready returns on the
+    relay's ack, NOT on execution (measured: a 268MB elementwise pass
+    "completes" in 65us = 8TB/s, 10x over v5e's HBM); a data-dependent
+    scalar readback cannot lie.  But that readback path is session-state
+    dependent (healthy ~30ms; minutes when the tunnel is burdened), and
+    the driver must never see bench.py hang -- hence the thread+timeout
+    guard and the labeled dispatch-paced fallback in measure_staged."""
+    import threading
+    import numpy as np
+    done = []
+    t = threading.Thread(
+        target=lambda: done.append(np.asarray(arr.ravel()[-1:])),
+        daemon=True)
+    t.start()
+    t.join(timeout)
+    return bool(done)
+
+
+def _sync_rtt():
+    """Fixed cost of one honest sync (slice program + 1-element transfer
+    through the relay, ~30ms healthy); subtracted from amortized
+    timings."""
+    import jax.numpy as jnp
+    x = jnp.zeros((8,), jnp.uint8)
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        if not _honest_sync(x, timeout=60.0):
+            return None
+        ts.append(time.perf_counter() - t0)
+    return sorted(ts)[1]
+
+
+def measure_staged(engine, frames, warmup, passes=10):
+    """Per-pair dispatch over device-staged sources, timed against REAL
+    device completion: push `passes` repetitions of the source span
+    (pts-shifted; identical per-pair plans, so no new compiles), then one
+    honest scalar sync on the last output and subtract the measured sync
+    RTT.  The repetitions amortize the ~30ms sync cost to a few percent.
+
+    The per-output `block` loop of earlier rounds measured the relay's
+    dispatch ack, not the chip (see _honest_sync) -- the round-2 matrix
+    numbers made with it overstate the chip; these do not.
+
+    Latency views (dispatch-paced, kept for the host-overhead signal):
+    block = per-output ack; e2e = source arrival -> output ack."""
+    import dataclasses
     outs = []
     for f in frames[:warmup]:
         outs.extend(engine.push(f))
-    for o in outs:
-        o.block()
+    honest = bool(outs) and _honest_sync(outs[-1].device_planes()[1])
+    rtt = _sync_rtt() if honest else None
+    honest = honest and rtt is not None
+    span = len(frames[warmup:]) / max(getattr(frames[0], "nominal_fps", 24.0)
+                                      or 24.0, 1e-6)
+    clock = [0.0]   # monotonically advancing pts offset across sub-passes
+
+    def sub_pass():
+        off = clock[0]
+        clock[0] += span
+        for f in frames[warmup:]:
+            yield dataclasses.replace(f, pts=f.pts + off)
 
     def one_pass():
+        # dispatch-latency view (one span, per-output acks)
         lat_block, lat_e2e = [], []
-        n_out = 0
-        t0 = time.perf_counter()
-        for f in frames[warmup:]:
+        ta = time.perf_counter()
+        for f in sub_pass():
             t_in = time.perf_counter()
-            outs = engine.push(f)
-            for o in outs:
+            for o in engine.push(f):
                 s = time.perf_counter()
                 o.block()
                 now = time.perf_counter()
                 lat_block.append(now - s)
                 lat_e2e.append(now - t_in)
-            n_out += len(outs)
-        dt = time.perf_counter() - t0
+        if not honest:
+            # relay readbacks unusable this session: report the
+            # dispatch-paced view (the pre-correction metric) and LABEL
+            # it (sync="dispatch-ack")
+            n = len(lat_e2e)
+            return n, n / (time.perf_counter() - ta), lat_block, lat_e2e
+        # honest throughput: `passes` spans, one real sync at the end
+        n_out = 0
+        last = None
+        t0 = time.perf_counter()
+        for _p in range(passes):
+            for f in sub_pass():
+                outs = engine.push(f)
+                n_out += len(outs)
+                if outs:
+                    last = outs[-1]
+        if not _honest_sync(last.device_planes()[1], timeout=300.0):
+            raise RuntimeError("relay readback degraded mid-measurement")
+        dt = time.perf_counter() - t0 - rtt
         return n_out, n_out / dt, lat_block, lat_e2e
 
-    # two passes, best taken: the CI relay's dispatch latency varies by
-    # session and a degraded pass under-reports the chip by 10x+
-    return max([one_pass() for _ in range(2)], key=lambda r: r[1])
+    best = max([one_pass() for _ in range(2)], key=lambda r: r[1])
+    return (*best, "device-completion" if honest else "dispatch-ack")
 
 
 def measure_streaming(path, engine):
@@ -156,23 +239,41 @@ def main():
                                                   vx=3, vy=1)]
         engine = build_engine(dst_fps, radius, mode, model,
                               measure_timing=False)
-        n_out, fps, lat_block, lat_e2e = measure_staged(engine, frames,
-                                                        warmup)
+        n_out, fps, lat_block, lat_e2e, sync_kind = measure_staged(
+            engine, frames, warmup)
+        extras["sync"] = sync_kind
 
         if not int(os.environ.get("MFI_BENCH_SKIP_DEFAULT", "0")):
             # the PRODUCT default config: measure_timing=True blocks on
-            # each pair's last output (reference blocking-download cadence)
+            # each pair's last output (reference blocking-download
+            # cadence); throughput against real completion like the
+            # headline (honest final sync, multi-span amortized)
+            import dataclasses as _dc
             dengine = build_engine(dst_fps, radius, mode, model,
                                    measure_timing=True)
             for f in frames[:warmup]:
                 for o in dengine.push(f):
                     o.block()
+            span_d = (len(frames) - warmup) / max(src_fps, 1e-6)
+            rtt_d = _sync_rtt() if sync_kind == "device-completion" else None
             t0 = time.perf_counter()
             n_def = 0
-            for f in frames[warmup:]:
-                n_def += len(dengine.push(f))
+            last = None
+            npass = 10 if rtt_d is not None else 1
+            for p in range(npass):
+                for f in frames[warmup:]:
+                    outs = dengine.push(_dc.replace(
+                        f, pts=f.pts + p * span_d))
+                    n_def += len(outs)
+                    if outs:
+                        last = outs[-1]
+            if rtt_d is not None:
+                if not _honest_sync(last.device_planes()[1], timeout=300.0):
+                    raise RuntimeError("relay readback degraded")
+            else:
+                last.block()
             extras["default_config_fps"] = round(
-                n_def / (time.perf_counter() - t0), 2)
+                n_def / (time.perf_counter() - t0 - (rtt_d or 0.0)), 2)
 
     if not int(os.environ.get("MFI_BENCH_SKIP_PARITY", "0")):
         from mpv_frame_interpolator_tpu.utils.parity import parity_ok

@@ -113,6 +113,11 @@ class EngineConfig:
     #              frame and time each (reference-authentic; slightly
     #              slower: two device round-trips per pair)
     #   "off"    = no split telemetry (ofc/warp times read 0)
+    # NOTE (sandbox honesty): on a host where block_until_ready waits for
+    # real completion (any production TPU host) these times are device
+    # times.  On this sandbox's relay the ack arrives before execution,
+    # so they degrade to dispatch times -- see bench.py:_honest_sync for
+    # the amortized honest method and CLAUDE.md for the relay pathology.
     split_timing: str = "auto"
     # warp-batch shape policy:
     #   "exact"  = one program per distinct output count (2-4 programs for
