@@ -38,9 +38,14 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="mpv_frame_interpolator_tpu",
         description="TPU-native optical-flow frame interpolation")
-    p.add_argument("source",
-                   help="input: .y4m path, media path (needs ffmpeg), or "
-                        "synthetic:<moving_box|gradient_pan|noise|scene_cut>")
+    p.add_argument("source", nargs="+",
+                   help="input(s): .y4m path, media path (needs ffmpeg), or "
+                        "synthetic:<moving_box|gradient_pan|noise|scene_cut>"
+                        "; several inputs play as a gapless playlist "
+                        "(mp_play_files analog)")
+    p.add_argument("--playlist", default="",
+                   help="read additional playlist entries from this file "
+                        "(one path per line, # comments; mpv --playlist)")
     p.add_argument("--width", type=int, default=1920,
                    help="synthetic/raw width")
     p.add_argument("--height", type=int, default=1080,
@@ -161,6 +166,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def make_source(args):
+    if isinstance(args.source, (list, tuple)):
+        # nargs="+" positional; single-entry resolution (playlists fan
+        # out in main() via one make_source call per entry)
+        args = argparse.Namespace(**{**vars(args),
+                                     "source": args.source[0]})
     if args.source.startswith("synthetic:"):
         name = args.source.split(":", 1)[1]
         cfg = synthetic.SyntheticConfig(
@@ -247,7 +257,36 @@ def main(argv=None) -> int:
         if mode is None:
             raise SystemExit(f"unknown mode {args.mode!r}")
 
-    source, width, height = make_source(args)
+    # playlist assembly (mp_play_files analog): positional entries plus
+    # an optional --playlist file; one entry plays directly, several play
+    # gapless through a ChainedSource on one engine
+    entries = list(args.source)
+    if args.playlist:
+        try:
+            with open(args.playlist) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if line and not line.startswith("#"):
+                        entries.append(line)
+        except OSError as e:
+            raise SystemExit(f"cannot read playlist {args.playlist!r}: {e}")
+    args.source = entries[0]   # single-file surfaces (watch-later, logs)
+
+    if len(entries) == 1:
+        source, width, height = make_source(args)
+    else:
+        import argparse as _ap
+        from mpv_frame_interpolator_tpu.io.playlist import ChainedSource
+
+        def _open_entry(entry):
+            sub = _ap.Namespace(**vars(args))
+            sub.source = entry
+            return make_source(sub)[0]
+
+        source = ChainedSource(entries, _open_entry)
+        width, height = source.width, source.height
+        log.info("playlist: %d entries, %dx%d timeline",
+                 len(entries), width, height)
 
     src_seekable = (hasattr(source, "seek_pts")
                     and getattr(source, "seekable", lambda: False)())
