@@ -98,6 +98,39 @@ def _sync_rtt():
     return sorted(ts)[1]
 
 
+def _ack(obj, timeout=30.0) -> bool:
+    """Guarded dispatch ack: o.block() / block_until_ready in a daemon
+    thread with a timeout, because on a sick tunnel even the ACK path
+    hangs for minutes and bench.py must never hang the driver."""
+    import threading
+    done = []
+    t = threading.Thread(target=lambda: done.append(obj.block()),
+                         daemon=True)
+    t.start()
+    t.join(timeout)
+    return bool(done)
+
+
+def _readback_healthy(timeout=120.0) -> bool:
+    """Probe the relay's device->host readback path in a SUBPROCESS.
+
+    A hung readback poisons its process: the blocked transfer thread
+    degrades every later dispatch to ~2s (measured), so even the
+    dispatch-paced fallback would be ruined.  Probing out-of-process
+    keeps the measuring process clean; only when the probe passes do we
+    attempt in-process honest syncs."""
+    import subprocess
+    code = ("import numpy as np, jax.numpy as jnp;"
+            "print(np.asarray((jnp.zeros((64,64),jnp.uint8)+1)"
+            ".ravel()[-1:])[0])")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, timeout=timeout)
+        return r.returncode == 0 and b"1" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def measure_staged(engine, frames, warmup, passes=10):
     """Per-pair dispatch over device-staged sources, timed against REAL
     device completion: push `passes` repetitions of the source span
@@ -115,7 +148,10 @@ def measure_staged(engine, frames, warmup, passes=10):
     outs = []
     for f in frames[:warmup]:
         outs.extend(engine.push(f))
-    honest = bool(outs) and _honest_sync(outs[-1].device_planes()[1])
+    acks_ok = all(_ack(o, timeout=60.0) for o in outs[-2:])
+    honest = acks_ok and _readback_healthy()
+    honest = honest and bool(outs) \
+        and _honest_sync(outs[-1].device_planes()[1])
     rtt = _sync_rtt() if honest else None
     honest = honest and rtt is not None
     span = len(frames[warmup:]) / max(getattr(frames[0], "nominal_fps", 24.0)
@@ -131,21 +167,28 @@ def measure_staged(engine, frames, warmup, passes=10):
     def one_pass():
         # dispatch-latency view (one span, per-output acks)
         lat_block, lat_e2e = [], []
+        acking = acks_ok
+        n_disp = 0
         ta = time.perf_counter()
         for f in sub_pass():
             t_in = time.perf_counter()
             for o in engine.push(f):
+                n_disp += 1
+                if not acking:
+                    continue
                 s = time.perf_counter()
-                o.block()
+                if not _ack(o):
+                    acking = False   # sick tunnel: stop syncing at all
+                    continue
                 now = time.perf_counter()
                 lat_block.append(now - s)
                 lat_e2e.append(now - t_in)
-        if not honest:
+        tb = time.perf_counter()
+        if not hmode[0]:
             # relay readbacks unusable this session: report the
             # dispatch-paced view (the pre-correction metric) and LABEL
             # it (sync="dispatch-ack")
-            n = len(lat_e2e)
-            return n, n / (time.perf_counter() - ta), lat_block, lat_e2e
+            return n_disp, n_disp / (tb - ta), lat_block, lat_e2e
         # honest throughput: `passes` spans, one real sync at the end
         n_out = 0
         last = None
@@ -157,12 +200,16 @@ def measure_staged(engine, frames, warmup, passes=10):
                 if outs:
                     last = outs[-1]
         if not _honest_sync(last.device_planes()[1], timeout=300.0):
-            raise RuntimeError("relay readback degraded mid-measurement")
+            # readback died mid-measurement: fall back to the labeled
+            # dispatch view rather than aborting the whole bench
+            hmode[0] = False
+            return n_disp, n_disp / (tb - ta), lat_block, lat_e2e
         dt = time.perf_counter() - t0 - rtt
         return n_out, n_out / dt, lat_block, lat_e2e
 
+    hmode = [honest]
     best = max([one_pass() for _ in range(2)], key=lambda r: r[1])
-    return (*best, "device-completion" if honest else "dispatch-ack")
+    return (*best, "device-completion" if hmode[0] else "dispatch-ack")
 
 
 def measure_streaming(path, engine):
@@ -243,7 +290,11 @@ def main():
             engine, frames, warmup)
         extras["sync"] = sync_kind
 
-        if not int(os.environ.get("MFI_BENCH_SKIP_DEFAULT", "0")):
+        if lat_e2e and not int(os.environ.get("MFI_BENCH_SKIP_DEFAULT",
+                                              "0")):
+            # (skipped entirely when even dispatch acks hang -- a sick
+            # tunnel would park the driver inside measure_timing's
+            # internal sync with no way to guard it)
             # the PRODUCT default config: measure_timing=True blocks on
             # each pair's last output (reference blocking-download
             # cadence); throughput against real completion like the
@@ -253,7 +304,7 @@ def main():
                                    measure_timing=True)
             for f in frames[:warmup]:
                 for o in dengine.push(f):
-                    o.block()
+                    _ack(o, timeout=60.0)
             span_d = (len(frames) - warmup) / max(src_fps, 1e-6)
             rtt_d = _sync_rtt() if sync_kind == "device-completion" else None
             t0 = time.perf_counter()
@@ -267,13 +318,11 @@ def main():
                     n_def += len(outs)
                     if outs:
                         last = outs[-1]
-            if rtt_d is not None:
-                if not _honest_sync(last.device_planes()[1], timeout=300.0):
-                    raise RuntimeError("relay readback degraded")
-            else:
-                last.block()
-            extras["default_config_fps"] = round(
-                n_def / (time.perf_counter() - t0 - (rtt_d or 0.0)), 2)
+            synced = (_honest_sync(last.device_planes()[1], timeout=300.0)
+                      if rtt_d is not None else _ack(last, timeout=60.0))
+            if synced:
+                extras["default_config_fps"] = round(
+                    n_def / (time.perf_counter() - t0 - (rtt_d or 0.0)), 2)
 
     if not int(os.environ.get("MFI_BENCH_SKIP_PARITY", "0")):
         from mpv_frame_interpolator_tpu.utils.parity import parity_ok

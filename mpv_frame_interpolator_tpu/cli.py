@@ -100,6 +100,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ipc-server", default="",
                    help="serve JSON IPC on this unix socket path "
                         "(mpv --input-ipc-server analog)")
+    p.add_argument("--interactive", action="store_true",
+                   help="terminal keyboard control (input.c analog): "
+                        "arrows seek, space pause, . frame-step, "
+                        "[ ] speed, s screenshot, q quit, Q quit+save")
+    p.add_argument("--input-conf", default="",
+                   help="key bindings file (mpv input.conf line format: "
+                        "'KEY command args'; overlays the defaults)")
+    p.add_argument("--no-input-default-bindings", action="store_true",
+                   help="start from an empty bindings table")
     p.add_argument("--cache", default="auto", choices=("auto", "yes", "no"),
                    help="seekable frame cache over unseekable inputs "
                         "(stdin/pipes; demuxer-cache analog). auto = only "
@@ -415,6 +424,33 @@ def main(argv=None) -> int:
                  {"player": script_player, "pipeline": pipe})
         threading.Thread(target=run_script, daemon=True).start()
 
+    term_input = None
+    save_on_exit = [bool(is_file and args.save_position_on_quit)]
+    if args.interactive:
+        from mpv_frame_interpolator_tpu.api import Player as _P
+        from mpv_frame_interpolator_tpu.control.input import (
+            KeyDispatcher, TerminalInput, parse_input_conf)
+        key_player = _P(engine=engine)
+        key_player.bind_pipeline(pipe)
+        user_bindings = None
+        if args.input_conf:
+            user_bindings = parse_input_conf(open(args.input_conf).read())
+
+        def _on_quit(watch_later: bool):
+            if watch_later and is_file:
+                save_on_exit[0] = True
+            pipe.quit()
+
+        dispatcher = KeyDispatcher(
+            key_player, pipe, on_quit=_on_quit, bindings=user_bindings,
+            default_bindings=not args.no_input_default_bindings)
+        try:
+            term_input = TerminalInput(dispatcher).start()
+            log.info("terminal input active (q quits)")
+        except OSError as e:
+            log.warning("no controlling terminal (%s); --interactive "
+                        "disabled", e)
+
     applet = None
     if args.applet_fifo:
         from mpv_frame_interpolator_tpu.control.applet import AppletServer
@@ -472,7 +508,9 @@ def main(argv=None) -> int:
             ipc.stop()
         if save_timer_stop is not None:
             save_timer_stop.set()
-        if is_file and args.save_position_on_quit:
+        if term_input is not None:
+            term_input.stop()
+        if save_on_exit[0]:
             from mpv_frame_interpolator_tpu.pipeline import resume as _resume
             last_pts = engine.cadence.current_output_pts
             path = _resume.save(args.source, last_pts, _watch_later_props())

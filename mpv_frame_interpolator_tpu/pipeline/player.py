@@ -136,6 +136,9 @@ class Pipeline:
         self._unpaused = threading.Event()
         self._unpaused.set()
         self._step_frames = 0
+        # quit request (mpv `quit` command): ends run() at the next
+        # frame boundary, flushing the sink normally
+        self._quit = False
         self.paused = False
         # --loop-file / --end analogs (options/options.c): loop counts
         # ADDITIONAL plays (-1 = forever); end_pts stops playback at a
@@ -169,6 +172,12 @@ class Pipeline:
         else:
             self._commands.put(("resync-present", None))
             self._unpaused.set()
+
+    def quit(self):
+        """Stop playback at the next frame boundary (mpv quit command);
+        safe from any thread."""
+        self._quit = True
+        self._unpaused.set()
 
     def frame_step(self):
         """mpv `frame-step`: while paused, advance by one source frame's
@@ -267,7 +276,8 @@ class Pipeline:
                              else None)
         try:
             for frame in reader:
-                if self.end_pts is not None and frame.pts > self.end_pts:
+                if self._quit or (self.end_pts is not None
+                                  and frame.pts > self.end_pts):
                     self._eof_stop = True
                     if frame.recycle is not None:
                         frame.recycle()
@@ -284,7 +294,7 @@ class Pipeline:
                 while not self._unpaused.is_set():
                     self._unpaused.wait(0.05)
                     self._apply_commands()
-                    if self._pending_seek is not None:
+                    if self._pending_seek is not None or self._quit:
                         break
                 self._apply_commands()
                 if self._pending_seek is not None:

@@ -1,0 +1,114 @@
+"""Playlist playback (io/playlist.ChainedSource; mp_play_files /
+--playlist analog): gapless pts timeline, per-entry autoconvert, CLI."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from mpv_frame_interpolator_tpu.io import synthetic
+from mpv_frame_interpolator_tpu.io.playlist import ChainedSource
+from mpv_frame_interpolator_tpu.io.y4m import Y4MReader, Y4MWriter
+
+
+def write_y4m(path, n=6, w=64, h=48, fps=24.0, seed=1):
+    cfg = synthetic.SyntheticConfig(width=w, height=h, fps=fps, seed=seed)
+    frames = list(synthetic.moving_box(cfg, n))
+    with open(path, "wb") as fh:
+        wtr = Y4MWriter(fh, w, h, fps)
+        for f in frames:
+            wtr.write(f)
+    return frames
+
+
+def opener(path):
+    return Y4MReader(open(path, "rb"))
+
+
+class TestChainedSource:
+    def test_gapless_pts(self, tmp_path):
+        a, b = tmp_path / "a.y4m", tmp_path / "b.y4m"
+        write_y4m(a, n=5)
+        write_y4m(b, n=4)
+        frames = list(ChainedSource([str(a), str(b)], opener))
+        assert len(frames) == 9
+        pts = [f.pts for f in frames]
+        dt = 1 / 24.0
+        for i, (x, y) in enumerate(zip(pts, pts[1:])):
+            assert y - x == pytest.approx(dt, abs=1e-9), (i, x, y)
+
+    def test_content_in_order(self, tmp_path):
+        a, b = tmp_path / "a.y4m", tmp_path / "b.y4m"
+        fa = write_y4m(a, n=3, seed=1)
+        fb = write_y4m(b, n=3, seed=9)
+        out = list(ChainedSource([str(a), str(b)], opener))
+        np.testing.assert_array_equal(out[2].y, fa[2].y)
+        np.testing.assert_array_equal(out[3].y, fb[0].y)
+
+    def test_mixed_geometry_rescaled(self, tmp_path):
+        a, b = tmp_path / "a.y4m", tmp_path / "b.y4m"
+        write_y4m(a, n=3, w=64, h=48)
+        write_y4m(b, n=3, w=32, h=24)
+        out = list(ChainedSource([str(a), str(b)], opener))
+        assert all(f.fmt.width == 64 and f.fmt.height == 48 for f in out)
+        assert len(out) == 6
+
+    def test_mixed_rates_keep_entry_cadence(self, tmp_path):
+        a, b = tmp_path / "a.y4m", tmp_path / "b.y4m"
+        write_y4m(a, n=3, fps=24.0)
+        write_y4m(b, n=3, fps=30.0)
+        pts = [f.pts for f in ChainedSource([str(a), str(b)], opener)]
+        assert pts[2] - pts[1] == pytest.approx(1 / 24.0, abs=1e-9)
+        assert pts[4] - pts[3] == pytest.approx(1 / 30.0, abs=1e-9)
+        # the splice gap carries the OUTGOING entry's interval
+        assert pts[3] - pts[2] == pytest.approx(1 / 24.0, abs=1e-9)
+
+    def test_loop_playlist(self, tmp_path):
+        a = tmp_path / "a.y4m"
+        write_y4m(a, n=2)
+        src = ChainedSource([str(a)], opener, loop=2)
+        frames = list(src)
+        assert len(frames) == 6
+        pts = [f.pts for f in frames]
+        assert all(b - a == pytest.approx(1 / 24.0, abs=1e-9)
+                   for a, b in zip(pts, pts[1:]))
+
+    def test_empty_playlist_rejected(self):
+        with pytest.raises(ValueError):
+            ChainedSource([], opener)
+
+
+class TestCLIPlaylist:
+    def test_two_files_gapless(self, tmp_path):
+        a, b = tmp_path / "a.y4m", tmp_path / "b.y4m"
+        out = tmp_path / "out.y4m"
+        write_y4m(a, n=4)
+        write_y4m(b, n=4)
+        r = subprocess.run(
+            [sys.executable, "-m", "mpv_frame_interpolator_tpu",
+             str(a), str(b), "--untimed", "--no-resume",
+             "--display-fps", "24", "--frames", "0", "-o", str(out)],
+            capture_output=True, text=True, timeout=300,
+            env={**os.environ, "MFI_PLATFORM": "cpu"})
+        assert r.returncode == 0, r.stderr[-2000:]
+        got = list(Y4MReader(open(out, "rb")))
+        assert len(got) >= 7        # both files' frames made it out
+
+    def test_playlist_file(self, tmp_path):
+        a, b = tmp_path / "a.y4m", tmp_path / "b.y4m"
+        write_y4m(a, n=3)
+        write_y4m(b, n=3)
+        lst = tmp_path / "list.txt"
+        lst.write_text(f"# comment\n{b}\n")
+        out = tmp_path / "out.y4m"
+        r = subprocess.run(
+            [sys.executable, "-m", "mpv_frame_interpolator_tpu",
+             str(a), "--playlist", str(lst), "--untimed", "--no-resume",
+             "--display-fps", "24", "--frames", "0", "-o", str(out)],
+            capture_output=True, text=True, timeout=300,
+            env={**os.environ, "MFI_PLATFORM": "cpu"})
+        assert r.returncode == 0, r.stderr[-2000:]
+        got = list(Y4MReader(open(out, "rb")))
+        assert len(got) >= 5
