@@ -108,6 +108,12 @@ class Player:
             "total-time": (lambda: e.stats.last("source_frame_time"), None),
             "calc-res": (self._calc_res, None),
             "scene-cut-score": (e.last_cut_score, None),
+            # playlist surface (player/loadfile.c playlist properties);
+            # single-file playback reads pos 0 / count 1
+            "playlist-pos": (self._playlist_stat("entry_index", 0), None),
+            "playlist-count": (self._playlist_stat("_entries", 1,
+                                                   len), None),
+            "time-pos": (lambda: e.cadence.current_output_pts, None),
         }
 
     # ---- properties -----------------------------------------------------
@@ -148,6 +154,13 @@ class Player:
         def get():
             self.engine.request_split_timing()
             return self.engine.stats.last(name)
+        return get
+
+    def _playlist_stat(self, attr: str, default, fn=lambda x: x):
+        def get():
+            src = getattr(self.pipeline, "source", None)
+            v = getattr(src, attr, None)
+            return fn(v) if v is not None else default
         return get
 
     def _get_pause(self):
@@ -232,6 +245,14 @@ class Player:
             from mpv_frame_interpolator_tpu.control.applet import (
                 apply_command_code)
             return apply_command_code(self.engine, int(args[0]))
+        if name in ("quit", "quit-watch-later"):
+            # stop playback at the next frame boundary (player/command.c
+            # quit; quit-watch-later's position save is the CLI's exit
+            # path when wired with --save-position-on-quit)
+            if self.pipeline is None:
+                raise PropertyError("no pipeline bound; quit unavailable")
+            self.pipeline.quit()
+            return None
         if name == "screenshot":
             # grab the current video frame as a color PNG
             # (player/screenshot.c screenshot command; encoder is the

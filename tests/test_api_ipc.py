@@ -164,6 +164,54 @@ class TestAppletServerFifo:
             srv.stop()
 
 
+class TestPlaylistQuitSurface:
+    def test_playlist_props_single_file(self):
+        p = make_player()
+        assert p.get_property("playlist-pos") == 0
+        assert p.get_property("playlist-count") == 1
+
+    def test_playlist_props_chained(self, tmp_path):
+        from mpv_frame_interpolator_tpu.io.playlist import ChainedSource
+        from mpv_frame_interpolator_tpu.io.y4m import Y4MReader, Y4MWriter
+        from mpv_frame_interpolator_tpu.io.sinks import NullSink
+        from mpv_frame_interpolator_tpu.pipeline.player import Pipeline
+        cfg = synthetic.SyntheticConfig(width=32, height=32)
+        for name in ("a", "b", "c"):
+            with open(tmp_path / f"{name}.y4m", "wb") as fh:
+                w = Y4MWriter(fh, 32, 32, 24.0)
+                for f in synthetic.moving_box(cfg, 2):
+                    w.write(f)
+        src = ChainedSource([str(tmp_path / f"{n}.y4m")
+                             for n in ("a", "b", "c")],
+                            lambda path: Y4MReader(open(path, "rb")))
+        p = make_player()
+        pipe = Pipeline(src, p.engine, NullSink(), present=None)
+        p.bind_pipeline(pipe)
+        assert p.get_property("playlist-count") == 3
+        pipe.run()
+        assert p.get_property("playlist-pos") == 2
+
+    def test_quit_command(self):
+        import threading
+        from mpv_frame_interpolator_tpu.io.sinks import NullSink
+        from mpv_frame_interpolator_tpu.pipeline.player import Pipeline
+        cfg = synthetic.SyntheticConfig(width=32, height=32)
+        p = make_player()
+        pipe = Pipeline(synthetic.moving_box(cfg, 100000), p.engine,
+                        NullSink(), present=None)
+        p.bind_pipeline(pipe)
+        runner = threading.Thread(target=pipe.run)
+        runner.start()
+        time.sleep(0.3)
+        p.command("quit")
+        runner.join(timeout=60)
+        assert not runner.is_alive()
+
+    def test_quit_without_pipeline(self):
+        with pytest.raises(PropertyError):
+            make_player().command("quit")
+
+
 class TestModelSwitch:
     def test_runtime_model_switch(self, small_cfg):
         p = make_player()
