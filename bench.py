@@ -54,6 +54,7 @@ def build_engine(dst_fps, radius, mode, model, measure_timing):
         measure_timing=measure_timing,
         frame_output_mode=mode,
         model=model,
+        subpel_flow=bool(int(os.environ.get("MFI_BENCH_SUBPEL", "0"))),
         # the honest final sync waits on the in-order device queue; a
         # background-precompile thread would park minutes of remote
         # compiles in front of it (warmup pushes compile what's needed)
@@ -111,24 +112,16 @@ def _ack(obj, timeout=30.0) -> bool:
     return bool(done)
 
 
-def _readback_healthy(timeout=120.0) -> bool:
-    """Probe the relay's device->host readback path in a SUBPROCESS.
+def _warm_readback(timeout=240.0) -> bool:
+    """Establish the relay's device->host transfer channel.
 
-    A hung readback poisons its process: the blocked transfer thread
-    degrades every later dispatch to ~2s (measured), so even the
-    dispatch-paced fallback would be ruined.  Probing out-of-process
-    keeps the measuring process clean; only when the probe passes do we
-    attempt in-process honest syncs."""
-    import subprocess
-    code = ("import numpy as np, jax.numpy as jnp;"
-            "print(np.asarray((jnp.zeros((64,64),jnp.uint8)+1)"
-            ".ravel()[-1:])[0])")
-    try:
-        r = subprocess.run([sys.executable, "-c", code],
-                           capture_output=True, timeout=timeout)
-        return r.returncode == 0 and b"1" in r.stdout
-    except subprocess.TimeoutExpired:
-        return False
+    Measured: the FIRST readback in a process takes ~45-120s (one-time
+    tunnel channel setup); every readback after it is <1s.  So pay that
+    cost once, patiently, on a tiny array -- afterwards honest syncs are
+    cheap.  False (-> labeled dispatch-ack fallback) only when even the
+    patient warm-up times out (genuinely sick tunnel)."""
+    import jax.numpy as jnp
+    return _honest_sync(jnp.zeros((8,), jnp.uint8), timeout=timeout)
 
 
 def measure_staged(engine, frames, warmup, passes=10):
@@ -149,7 +142,7 @@ def measure_staged(engine, frames, warmup, passes=10):
     for f in frames[:warmup]:
         outs.extend(engine.push(f))
     acks_ok = all(_ack(o, timeout=60.0) for o in outs[-2:])
-    honest = acks_ok and _readback_healthy()
+    honest = acks_ok and _warm_readback()
     honest = honest and bool(outs) \
         and _honest_sync(outs[-1].device_planes()[1])
     rtt = _sync_rtt() if honest else None
