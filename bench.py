@@ -317,6 +317,37 @@ def main():
                 extras["default_config_fps"] = round(
                     n_def / (time.perf_counter() - t0 - (rtt_d or 0.0)), 2)
 
+    if not streaming and not int(os.environ.get("MFI_BENCH_SKIP_CHIP",
+                                                "0")):
+        # pure chip execution rate via the scan-chained method (immune to
+        # relay dispatch/readback pathologies; utils/chiptime.py).  When
+        # the pipeline measurement had to fall back to dispatch acks on a
+        # sick tunnel, this is the authoritative number -- promote it.
+        try:
+            import threading
+            from mpv_frame_interpolator_tpu.utils.chiptime import (
+                chip_pair_seconds)
+            per_pair_out = max(round(dst_fps / src_fps), 1)
+            box = []
+            th = threading.Thread(
+                target=lambda: box.append(chip_pair_seconds(
+                    width, height, per_pair_out, radius, model,
+                    k1=4, k2=12, p010=p010, repeats=1)), daemon=True)
+            th.start()
+            th.join(420.0)           # bound compiles + sick readbacks
+            if box:
+                sec = box[0]
+                extras["chip_ms_per_pair"] = round(sec * 1e3, 3)
+                extras["chip_bound_fps"] = round(per_pair_out / sec, 2)
+                if extras.get("sync") == "dispatch-ack" \
+                        and extras["chip_bound_fps"] > fps:
+                    fps = extras["chip_bound_fps"]
+                    extras["sync"] = "chip-scan-chain"
+            else:
+                extras["chip_bound_error"] = "timeout"
+        except Exception as e:  # noqa: BLE001 - never break the bench line
+            extras["chip_bound_error"] = f"{type(e).__name__}: {e}"[:120]
+
     if not int(os.environ.get("MFI_BENCH_SKIP_PARITY", "0")):
         from mpv_frame_interpolator_tpu.utils.parity import parity_ok
         extras["parity_ok"] = bool(parity_ok())

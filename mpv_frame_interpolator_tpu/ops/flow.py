@@ -96,6 +96,171 @@ def mirror_inside(pos, dim: int):
     return jnp.clip(pos, 0, dim - 1)
 
 
+def _mirror_inside_map(n: int, dim: int) -> np.ndarray:
+    """numpy mirror_inside over positions [-n, dim-1+n]."""
+    pos = np.arange(-n, dim + n)
+    pos = np.where(pos >= dim, dim - (pos - dim + 1), pos)
+    pos = np.where(pos < 0, -pos - 1, pos)
+    return np.clip(pos, 0, dim - 1)
+
+
+def _remap_axis(plane, mapping: np.ndarray, axis: int):
+    """Apply a static index map along `axis` with slices/flips/repeats
+    (never a gather -- the chip's gather runs at scalar rate, ~10ns per
+    element; ARCHITECTURE §3 honest-timing revision).  The maps used here
+    are piecewise linear with steps in {-1, 0, +1}, so they RLE-compress
+    to a handful of segments."""
+    segs = []
+    i, n = 0, len(mapping)
+    while i < n:
+        j = i
+        if j + 1 < n and abs(int(mapping[j + 1]) - int(mapping[j])) == 1:
+            step = int(mapping[j + 1]) - int(mapping[j])
+            while j + 1 < n and int(mapping[j + 1]) - int(mapping[j]) == step:
+                j += 1
+            segs.append(("run", int(mapping[i]), int(mapping[j]), step))
+        else:
+            while j + 1 < n and mapping[j + 1] == mapping[j]:
+                j += 1
+            segs.append(("const", int(mapping[i]), j - i + 1))
+        i = j + 1
+    parts = []
+    for seg in segs:
+        if seg[0] == "const":
+            _, v, cnt = seg
+            sl = jax.lax.slice_in_dim(plane, v, v + 1, axis=axis)
+            parts.append(jnp.repeat(sl, cnt, axis=axis))
+        else:
+            _, a, b, step = seg
+            if step == 1:
+                parts.append(jax.lax.slice_in_dim(plane, a, b + 1, axis=axis))
+            else:
+                parts.append(jnp.flip(
+                    jax.lax.slice_in_dim(plane, b, a + 1, axis=axis),
+                    axis=axis))
+    return jnp.concatenate(parts, axis=axis) if len(parts) > 1 else parts[0]
+
+
+# ---------------------------------------------------------------------------
+# Phase-decomposed candidate sampling (the TPU-fast flow path).
+#
+# The delta-sums step samples f1 at `scaled_c + off + adj_l` -- per-pixel
+# gathers whose honest cost (~10ns/element, 3 channels x 16 layers) is the
+# ENTIRE flow budget (~22ms/step of a ~22ms step at 640x360).  But the
+# sample positions decompose: `scaled_c` is the strided low-res grid, and
+# (off + adj_l) takes FEW distinct values on real content (off is
+# block-committed and spatially coherent; adj_l is a per-layer scalar).
+# Mirror-pad f1 once per pair, slice it into its (2^rs)^2 phase planes --
+# then f1[(c<<rs) + o] == phase[(o & m)][c + (o >> rs)], a LOW-RES dynamic
+# slice per distinct offset instead of a gather per pixel.  Chroma planes
+# are lifted to the full-res index domain first (each sample repeated 2x2)
+# so the kernel's `>> 1` addressing reduces to the same machinery.
+# Bit-exact; a per-step runtime fallback to the gather form handles fields
+# with more than _FLOW_K distinct offsets or shifts beyond the padding.
+# ---------------------------------------------------------------------------
+
+_FLOW_K = 12       # distinct-base-offset budget per pyramid step
+_FLOW_BLOW = 96    # low-res padding: covers |off + adj| < _FLOW_BLOW << rs
+
+
+def _phase_stacks(geom: FlowGeometry, f1y, f1u, f1v):
+    """(phY, phU, phV) stacks of shape (s*s, lh+2*Bl, lw+2*Bl) such that
+    stack[(oy & m)*s + (ox & m), Bl + cy + (oy>>rs), Bl + cx + (ox>>rs)]
+    == plane[mirror_inside(scaled_cy+oy, H), mirror_inside(scaled_cx+ox, W)]
+    (with the chroma planes' `>>1` addressing already folded in).
+    Returns None when the geometry is not phase-decomposable."""
+    rs, lh, lw = geom.res_scalar, geom.low_h, geom.low_w
+    H, W = geom.height, geom.stride
+    s = 1 << rs
+    if lh << rs != H or lw << rs != W:
+        return None
+    Bl = _FLOW_BLOW
+    B = Bl << rs
+
+    def lift_pad_phase(plane, lift: bool):
+        if lift:   # chroma -> full-res index domain (q -> plane[q >> 1])
+            plane = jnp.repeat(jnp.repeat(plane, 2, axis=0), 2, axis=1)
+        plane = plane[:H, :W]
+        plane = _remap_axis(plane, _mirror_inside_map(B, H), 0)
+        plane = _remap_axis(plane, _mirror_inside_map(B, W), 1)
+        ph = plane.reshape(lh + 2 * Bl, s, lw + 2 * Bl, s)
+        return ph.transpose(1, 3, 0, 2).reshape(s * s, lh + 2 * Bl,
+                                                lw + 2 * Bl)
+
+    return (lift_pad_phase(f1y, False), lift_pad_phase(f1u, True),
+            lift_pad_phase(f1v, True))
+
+
+def _distinct_base_offsets(off_y, off_x, K: int):
+    """Padded table of the distinct (oy, ox) pairs of the committed
+    field; clipped into the key range (out-of-range fields take the
+    gather fallback anyway)."""
+    R = 1 << 11
+    oy = jnp.clip(off_y, -R, R - 1)
+    ox = jnp.clip(off_x, -R, R - 1)
+    key = (oy + R) * (2 * R) + (ox + R)
+    ks = jnp.sort(key.ravel())
+    uniq = jnp.concatenate([jnp.ones((1,), bool), ks[1:] != ks[:-1]])
+    D = uniq.sum()
+    pos = jnp.cumsum(uniq) - 1
+    vals = jnp.full((K,), -1, jnp.int32).at[
+        jnp.where(uniq, pos, K)].set(ks.astype(jnp.int32), mode="drop")
+    return key.astype(jnp.int32), vals, D
+
+
+def _sample_layers_shift(geom: FlowGeometry, stacks, key, vals, D,
+                         adj_flat, is_y, layers: int):
+    """(y1, u1, v1) int32 (layers, lh, lw) candidate samples via phase
+    slices + masked selects over the distinct base offsets."""
+    rs, lh, lw = geom.res_scalar, geom.low_h, geom.low_w
+    s = 1 << rs
+    m = s - 1
+    Bl = _FLOW_BLOW
+    R = 1 << 11
+    phY, phU, phV = stacks
+
+    def body(carry, j):
+        y1, u1, v1 = carry
+        v = vals[j]
+
+        def take(carry):
+            y1, u1, v1 = carry
+            vy = v // (2 * R) - R
+            vx = v % (2 * R) - R
+            mask = key == v
+            ys, us, vs = [], [], []
+            for l in range(layers):
+                oy = vy + adj_flat[l] * is_y
+                ox = vx + adj_flat[l] * (1 - is_y)
+                p = (oy & m) * s + (ox & m)
+                sy = Bl + (oy >> rs)
+                sx = Bl + (ox >> rs)
+                ys.append(jax.lax.dynamic_slice(
+                    phY, (p, sy, sx), (1, lh, lw))[0])
+                # chroma planes live in the full-res index domain with
+                # the >>1 fold built into the lifted stacks; the sample
+                # index is floor(o/2) done by the same (phase, shift)
+                # decomposition because the lifted plane IS plane[q>>1]
+                us.append(jax.lax.dynamic_slice(
+                    phU, (p, sy, sx), (1, lh, lw))[0])
+                vs.append(jax.lax.dynamic_slice(
+                    phV, (p, sy, sx), (1, lh, lw))[0])
+            ystk = jnp.stack(ys).astype(jnp.int32)
+            ustk = jnp.stack(us).astype(jnp.int32)
+            vstk = jnp.stack(vs).astype(jnp.int32)
+            sel = mask[None]
+            return (jnp.where(sel, ystk, y1), jnp.where(sel, ustk, u1),
+                    jnp.where(sel, vstk, v1))
+
+        carry = jax.lax.cond(j < D, take, lambda c: c, (y1, u1, v1))
+        return carry, None
+
+    z = jnp.zeros((layers, lh, lw), jnp.int32)
+    (y1, u1, v1), _ = jax.lax.scan(body, (z, z, z),
+                                   jnp.arange(vals.shape[0]))
+    return y1, u1, v1
+
+
 def _subsampled_f2(geom: FlowGeometry, f2y, f2u, f2v):
     """Frame-2 probe samples at the scaled grid (strided slices, no gather).
 
@@ -246,7 +411,7 @@ def _pyramid_step_traced(geom: FlowGeometry, layers: int,
                          radius_t, window_t, is_y_t, nb_t,
                          off_x, off_y, f1y, f1u, f1v, f2_probe,
                          delta_scalar, neighbor_bias_scalar,
-                         luma_shift: int):
+                         luma_shift: int, stacks=None):
     """ONE pyramid (iteration, step) with the window size, step parity,
     and neighbor flag all TRACED -- the lax.scan body of the scanned flow
     program (see _flow_impl).  Bit-exact with the unrolled
@@ -281,12 +446,30 @@ def _pyramid_step_traced(geom: FlowGeometry, layers: int,
     probe = jnp.where(is_y == 1, cand_y, cand_x)
     prev_plane = jnp.where(is_y == 1, off_y, off_x)
 
-    new_cx = mirror_inside(scaled_cx[None] + cand_x, W)
-    new_cy = mirror_inside(scaled_cy[None] + cand_y, H)
+    def gather_samples(_):
+        new_cx = mirror_inside(scaled_cx[None] + cand_x, W)
+        new_cy = mirror_inside(scaled_cy[None] + cand_y, H)
+        return (_gather(f1y, new_cy, new_cx).astype(jnp.int32),
+                _gather(f1u, new_cy >> 1, new_cx >> 1).astype(jnp.int32),
+                _gather(f1v, new_cy >> 1, new_cx >> 1).astype(jnp.int32))
 
-    y1 = _gather(f1y, new_cy, new_cx).astype(jnp.int32)
-    u1 = _gather(f1u, new_cy >> 1, new_cx >> 1).astype(jnp.int32)
-    v1 = _gather(f1v, new_cy >> 1, new_cx >> 1).astype(jnp.int32)
+    if stacks is None:
+        y1, u1, v1 = gather_samples(None)
+    else:
+        # phase-decomposed candidate sampling over the distinct committed
+        # offsets (see _sample_layers_shift); gather fallback at runtime
+        # for wild fields
+        key, vals, D = _distinct_base_offsets(off_y, off_x, _FLOW_K)
+        max_adj = (layers // 2) ** 2
+        mag = jnp.maximum(jnp.max(jnp.abs(off_x)), jnp.max(jnp.abs(off_y)))
+        ok = (D <= _FLOW_K) & (mag + max_adj <= (_FLOW_BLOW << rs) - 1)
+        adj_flat = adj[:, 0, 0]
+
+        def shift_samples(_):
+            return _sample_layers_shift(geom, stacks, key, vals, D,
+                                        adj_flat, is_y, layers)
+
+        y1, u1, v1 = jax.lax.cond(ok, shift_samples, gather_samples, None)
 
     delta = (jnp.abs(y1 - y2[None]) + jnp.abs(u1 - u2[None])
              + jnp.abs(v1 - v2[None])).astype(jnp.uint32)
@@ -346,14 +529,21 @@ def _pyramid_step_traced(geom: FlowGeometry, layers: int,
 
 def _flow_impl_scan(geom: FlowGeometry, radius, luma_shift: int,
                     f1y, f1u, f1v, f2y, f2u, f2v,
-                    delta_scalar, neighbor_bias_scalar, layers: int):
+                    delta_scalar, neighbor_bias_scalar, layers: int,
+                    sampling: str = "shift"):
     """The pyramid as ONE lax.scan over (iteration, step) pairs: the HLO
     contains a single step body instead of 2*iterations unrolled copies,
     which cuts cold-start compile time by ~an order of magnitude (the
     remote XLA compile is super-linear in program size).  Output is
-    bit-exact with the unrolled form (see _pyramid_step_traced)."""
+    bit-exact with the unrolled form (see _pyramid_step_traced).
+
+    sampling="shift" replaces the candidate gathers with the
+    phase-decomposed sampler (the honest ~17x flow speedup; bit-exact,
+    per-step runtime gather fallback)."""
     lh, lw = geom.low_h, geom.low_w
     f2_probe = _subsampled_f2(geom, f2y, f2u, f2v)
+    stacks = _phase_stacks(geom, f1y, f1u, f1v) \
+        if sampling == "shift" else None
 
     windows, parities, nb_flags = [], [], []
     for it, w in enumerate(geom.window_schedule()):
@@ -371,7 +561,7 @@ def _flow_impl_scan(geom: FlowGeometry, radius, luma_shift: int,
         off_x, off_y = _pyramid_step_traced(
             geom, layers, radius, w_t, isy_t, nb_t, off_x, off_y,
             f1y, f1u, f1v, f2_probe, delta_scalar, neighbor_bias_scalar,
-            luma_shift)
+            luma_shift, stacks)
         return (off_x, off_y), None
 
     init = (jnp.zeros((lh, lw), jnp.int32), jnp.zeros((lh, lw), jnp.int32))
@@ -385,20 +575,25 @@ def _flow_impl_scan(geom: FlowGeometry, radius, luma_shift: int,
 # Overridable for measurement via MFI_FLOW_PROGRAM.
 import os as _os
 FLOW_PROGRAM = _os.environ.get("MFI_FLOW_PROGRAM", "scan")
+# candidate sampling: "shift" (phase-decomposed, the honest fast path) or
+# "gather" (per-pixel; the round-1 design, still used by the unroll
+# program and as the in-program runtime fallback)
+FLOW_SAMPLING = _os.environ.get("MFI_FLOW_SAMPLING", "shift")
 
 
 def _flow_impl(geom: FlowGeometry, radius, luma_shift: int,
                f1y, f1u, f1v, f2y, f2u, f2v,
                delta_scalar, neighbor_bias_scalar,
                pallas_blur: bool = False, layers: int = None,
-               program: str = None):
+               program: str = None, sampling: str = None):
     lh, lw = geom.low_h, geom.low_w
     program = program or FLOW_PROGRAM
+    sampling = sampling or FLOW_SAMPLING
 
     if program == "scan" and layers is not None:
         off_x, off_y = _flow_impl_scan(
             geom, radius, luma_shift, f1y, f1u, f1v, f2y, f2u, f2v,
-            delta_scalar, neighbor_bias_scalar, layers)
+            delta_scalar, neighbor_bias_scalar, layers, sampling)
     else:
         off_x = jnp.zeros((lh, lw), jnp.int32)
         off_y = jnp.zeros((lh, lw), jnp.int32)

@@ -21,6 +21,7 @@ driver (vf_HopperRender.c:512-533, opticalFlowCalc.c), re-imagined for XLA:
 from __future__ import annotations
 
 import dataclasses
+from os import environ as _os_env
 import functools
 import time
 from typing import List, Optional
@@ -92,10 +93,18 @@ class EngineConfig:
     # once, not once per batch size (the 24->60 cadence alternates 2/3
     # outputs per pair -> two programs).  Measurements taken while the
     # background compile is executing are discarded (device contention).
-    background_precompile: bool = True
+    # (MFI_BG_PRECOMPILE=0 force-disables -- the CPU test suite does:
+    # concurrent XLA:CPU compiles from the warm thread + the main thread
+    # have segfaulted the compiler on this host)
+    background_precompile: bool = _os_env.get("MFI_BG_PRECOMPILE",
+                                              "1") != "0"
     # persistent jit cache; measured 133s -> 11s cold starts on the axon
     # TPU for the 1080p flow program ("" disables)
-    compilation_cache_dir: str = "~/.cache/mfi_tpu/jax"
+    # (MFI_COMPILE_CACHE overrides; the CPU test suite points it at a
+    # per-session temp dir -- loading AOT artifacts compiled for another
+    # host's CPU features can SIGILL/SEGV, per XLA's own loader warning)
+    compilation_cache_dir: str = _os_env.get("MFI_COMPILE_CACHE",
+                                             "~/.cache/mfi_tpu/jax")
     model: str = "hopper"            # interpolator family (models/)
     pallas_blur: bool = False        # hand Pallas kernel for the flow blur
                                      # (ops/pallas/blur.py; bit-identical)
@@ -137,6 +146,13 @@ class EngineConfig:
     # 27-36s vs vmap's 18-22s on the warp-only program.  The knob stays
     # for re-measurement on future hardware.
     warp_loop: str = "vmap"
+    # warp source sampling for the nearest families:
+    #   "shift"  = shift-decomposed exact sampler (default; ~50x on real
+    #              content -- the chip's gather runs at ~10ns/element,
+    #              ARCHITECTURE §3 honest-timing revision; falls back to
+    #              the gather program AT RUNTIME on pathological fields)
+    #   "gather" = per-pixel gather everywhere (the round-1 design)
+    warp_sampling: str = "shift"
     # measured fractional-pel flow (ops/flow.subpel_refine): parabolic
     # sub-pel refinement of the committed integer flow.  The bilinear
     # families (hopperq/hopperxq) consume it at 1/64-pel in the warp; the
@@ -167,6 +183,8 @@ class EngineConfig:
             raise ValueError("batch_shapes must be exact|bucket")
         if self.warp_loop not in ("vmap", "scan"):
             raise ValueError("warp_loop must be vmap|scan")
+        if self.warp_sampling not in ("shift", "gather"):
+            raise ValueError("warp_sampling must be shift|gather")
 
 
 class OutputFrame:
@@ -276,7 +294,7 @@ def _flow_stage(geom, scale_shift, scene_enabled, model, pallas_blur,
 def _warp_stage(geom, mode, scale_shift, cut_policy, scene_enabled, model,
                 f1y, f1u, f1v, f2y, f2u, f2v, blurred, cut_score, ts,
                 black, white, scene_threshold, warp_loop: str = "vmap",
-                frac=None):
+                frac=None, warp_sampling: str = "shift"):
     """Traced warp half: scene-cut folding + N batched warps + NV12
     re-interleave.  Returns (y batch, uv batch).
 
@@ -284,7 +302,13 @@ def _warp_stage(geom, mode, scale_shift, cut_policy, scene_enabled, model,
     body is traced/compiled once per program instead of unrolled N times,
     so cold-start compile time stops scaling with the output batch size.
     Outputs are bit-identical (same ops per position, no cross-position
-    math)."""
+    math).
+
+    warp_sampling="shift" (default) uses the shift-decomposed sampler for
+    the nearest families (ops/warp._sample_all_planes: exact, runs at
+    memory speed instead of the chip's ~10 ns/element scalar gather
+    rate).  It FORCES the lax.map loop: vmapping its dynamic slices
+    would lower them back into gathers."""
     dtype = jnp.uint16 if scale_shift else jnp.uint8
     if scene_enabled:
         cut = cut_score > scene_threshold
@@ -304,7 +328,10 @@ def _warp_stage(geom, mode, scale_shift, cut_policy, scene_enabled, model,
         # interpolation -- what a plain player displays)
         ts_w = jnp.where(ts_w >= 0.5, 1.0, 0.0).astype(jnp.float32)
 
-    loop = jax.lax.map if warp_loop == "scan" else (
+    bilinear = model in ("hopperq", "hopperxq")
+    shift_active = (warp_sampling == "shift" and not bilinear
+                    and mode in (0, 1, 2, 3))
+    loop = jax.lax.map if (warp_loop == "scan" or shift_active) else (
         lambda f, xs: jax.vmap(f)(xs))
     if mode in (warp_ops.SIDE_BY_SIDE_1, warp_ops.SIDE_BY_SIDE_2):
         def one(t):
@@ -320,7 +347,8 @@ def _warp_stage(geom, mode, scale_shift, cut_policy, scene_enabled, model,
                 geom, mode, scale_shift, dtype,
                 f1y, f1u, f1v, f2y, f2u, f2v, fields, t, black, white,
                 occlusion_aware=(model in ("hopperx", "hopperxq")),
-                bilinear=(model in ("hopperq", "hopperxq")))
+                bilinear=bilinear,
+                sampling="shift" if shift_active else "gather")
         y, u, v = loop(one, ts_w)
     n, hc, wc = u.shape
     uv = jnp.stack((u, v), axis=3).reshape(n, hc, wc * 2)
@@ -332,7 +360,7 @@ def _make_source_step(geom: FlowGeometry, mode: int,
                       scale_shift: int, cut_policy: str,
                       scene_enabled: bool, model: str = "hopper",
                       pallas_blur: bool = False, warp_loop: str = "vmap",
-                      subpel: bool = False):
+                      subpel: bool = False, warp_sampling: str = "shift"):
     """ONE fused device dispatch per source pair: scene-cut score ->
     hierarchical flow -> N batched warps -> NV12 re-interleave.
 
@@ -355,7 +383,7 @@ def _make_source_step(geom: FlowGeometry, mode: int,
         y, uv = _warp_stage(
             geom, mode, scale_shift, cut_policy, scene_enabled, model,
             f1y, f1u, f1v, f2y, f2u, f2v, blurred, cut_score, ts,
-            black, white, scene_threshold, warp_loop, frac)
+            black, white, scene_threshold, warp_loop, frac, warp_sampling)
         return y, uv, blurred, cut_score
 
     return jax.jit(step)
@@ -380,7 +408,7 @@ def _make_flow_step(geom: FlowGeometry, scale_shift: int,
 @functools.lru_cache(maxsize=64)
 def _make_warp_step(geom: FlowGeometry, mode: int, scale_shift: int,
                     cut_policy: str, scene_enabled: bool, model: str,
-                    warp_loop: str = "vmap"):
+                    warp_loop: str = "vmap", warp_sampling: str = "shift"):
     """Warp-only program for split-timing (opticalFlowCalc.c:192-201
     warp-event analog).  Same traced code as the fused step's second half.
     `frac` is the subpel field or None (None is a valid jit pytree)."""
@@ -391,7 +419,7 @@ def _make_warp_step(geom: FlowGeometry, mode: int, scale_shift: int,
         return _warp_stage(geom, mode, scale_shift, cut_policy,
                            scene_enabled, model, f1y, f1u, f1v, f2y, f2u,
                            f2v, blurred, cut_score, ts, black, white,
-                           scene_threshold, warp_loop, frac)
+                           scene_threshold, warp_loop, frac, warp_sampling)
     return jax.jit(step)
 
 
@@ -492,7 +520,8 @@ class InterpolationEngine:
                                  self.scene.enabled, self.config.model,
                                  self.config.pallas_blur,
                                  self.config.warp_loop,
-                                 self.config.subpel_flow)
+                                 self.config.subpel_flow,
+                                 self.config.warp_sampling)
         warmed = 0
         if self.config.batch_shapes == "bucket":
             sizes = {_bucket_size(n) for n in sizes}
@@ -664,7 +693,8 @@ class InterpolationEngine:
                 self.geom, self.frame_output_mode, self._scale_shift,
                 self.config.cut_policy, self.scene.enabled,
                 self.config.model, self.config.pallas_blur,
-                self.config.warp_loop, self.config.subpel_flow)
+                self.config.warp_loop, self.config.subpel_flow,
+                self.config.warp_sampling)
             y, uv, blurred, cut_score = step(*args, ts, *knobs, *levels,
                                              thr)
             dur = None
@@ -718,7 +748,8 @@ class InterpolationEngine:
         warp_fn = _make_warp_step(self.geom, self.frame_output_mode,
                                   self._scale_shift, self.config.cut_policy,
                                   self.scene.enabled, self.config.model,
-                                  self.config.warp_loop)
+                                  self.config.warp_loop,
+                                  self.config.warp_sampling)
         return flow_fn, warp_fn
 
     def _record_split(self, flow_t: float, warp_t: float, n_outputs: int):

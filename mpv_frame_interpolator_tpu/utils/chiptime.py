@@ -1,0 +1,62 @@
+"""Honest per-pair chip execution time via scan-chained programs.
+
+See tools/chip_time.py for the rationale: per-output sync loops time the
+relay's dispatch path, and readbacks degrade later dispatches -- but ONE
+program that runs the fused step K times under lax.scan (with a data
+dependency between iterations) measures pure chip execution, because
+(t(K2)-t(K1))/(K2-K1) cancels every fixed cost.
+"""
+
+import time
+
+import numpy as np
+
+
+def chip_pair_seconds(width=3840, height=2160, n_outputs=5, radius=16,
+                      model="hopper", k1=8, k2=40, p010=False,
+                      repeats=2):
+    import jax
+    import jax.numpy as jnp
+    from mpv_frame_interpolator_tpu.io import synthetic
+    from mpv_frame_interpolator_tpu.ops.flow import FlowGeometry
+    from mpv_frame_interpolator_tpu.pipeline.engine import _make_source_step
+
+    cfg = synthetic.SyntheticConfig(width=width, height=height, fps=24.0,
+                                    pixfmt="p010" if p010 else "nv12")
+    f1, f2, _ = list(synthetic.gradient_pan(cfg, 3, vx=3, vy=1))
+    geom = FlowGeometry.create(height, width, width)
+    step = _make_source_step(geom, 2, 8 if p010 else 0, "nearest", True,
+                             model)
+    ts = jnp.linspace(0.1, 0.9, n_outputs).astype(jnp.float32)
+    args = (jnp.asarray(f1.y), jnp.asarray(f1.uv),
+            jnp.asarray(f2.y), jnp.asarray(f2.uv))
+    knobs = (jnp.int32(radius), jnp.int32(8), jnp.int32(6),
+             jnp.float32(0.0), jnp.float32(255.0), jnp.float32(28.0))
+
+    def chained(k):
+        def body(carry, _):
+            f1y = args[0].at[0, 0].set(
+                jnp.where(carry > jnp.uint16(255), carry.astype(args[0].dtype),
+                          args[0][0, 0]))
+            y, uv, blurred, cut = step(f1y, args[1], args[2], args[3],
+                                       ts, *knobs)
+            return uv[0, 0, 0].astype(jnp.uint16), blurred[0, 0, 0]
+        return jax.jit(lambda: jax.lax.scan(
+            body, jnp.uint16(0), None, length=k)[1])
+
+    fns = {k: chained(k) for k in (k1, k2)}
+    # compile + channel warm (first readback pays the tunnel setup)
+    for k in (k1, k2):
+        np.asarray(fns[k]().ravel()[-1:])
+
+    best = []
+    for _ in range(repeats):
+        times = {}
+        for k in (k1, k2):
+            t0 = time.perf_counter()
+            np.asarray(fns[k]().ravel()[-1:])
+            times[k] = time.perf_counter() - t0
+        best.append((times[k2] - times[k1]) / (k2 - k1))
+    return min(best)
+
+

@@ -3,8 +3,19 @@ sharding tests run without TPU hardware (the Pallas kernels use
 interpret=True on CPU)."""
 
 import os
+import tempfile
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# per-session compile cache: the shared persistent cache may hold AOT
+# artifacts compiled for a DIFFERENT host CPU (the xla cpu_aot_loader
+# warns "could lead to execution errors such as SIGILL"), and loading
+# them has produced real segfaults mid-suite
+os.environ.setdefault("MFI_COMPILE_CACHE",
+                      tempfile.mkdtemp(prefix="mfi_test_jaxcache_"))
+# no background-precompile threads under pytest: concurrent XLA:CPU
+# compiles (warm thread + test thread) have segfaulted the compiler here;
+# the tests that exercise the warm path re-enable it explicitly
+os.environ.setdefault("MFI_BG_PRECOMPILE", "0")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
