@@ -129,6 +129,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="how the per-pair warp batch is expressed in the "
                         "fused program (bit-identical outputs; compile-time "
                         "tradeoff knob)")
+    p.add_argument("--timing-source", default="block",
+                   choices=("block", "amortized"),
+                   help="how the compute time fed to the auto-quality "
+                        "controller is measured: wall-to-block (reference "
+                        "behavior) or periodic data-dependent scalar "
+                        "readbacks (honest on hosts whose block/ack "
+                        "returns before device execution)")
+    p.add_argument("--layer-buckets", default="5,8,16",
+                   help="comma-separated flow layer-count variants; the "
+                        "live search radius runs the smallest bucket that "
+                        "covers it, so quality degradation cuts real chip "
+                        "work (empty = single 16-layer program)")
     p.add_argument("--vf", default="",
                    help="host filter chain before interpolation, e.g. "
                         "'crop=640:360,vflip,fps=24' (user_filters analog)")
@@ -333,13 +345,21 @@ def main(argv=None) -> int:
         model=args.model,
         subpel_flow=args.subpel_flow,
         warp_loop=args.warp_loop,
+        timing_source=args.timing_source,
+        layer_buckets=tuple(int(b) for b in args.layer_buckets.split(",")
+                            if b.strip()),
     )
     engine = InterpolationEngine(config)
     if args.speed != 1.0:
         engine.set_speed(args.speed)
 
-    # watch-later resume (player/configfiles.c analog) for file sources
-    is_file = not args.source.startswith("synthetic:")
+    # watch-later resume (player/configfiles.c analog) for file sources.
+    # Multi-entry playlists are excluded: the chained timeline's pts can
+    # exceed any single entry's duration, so a saved position would
+    # resume a later solo play of entries[0] out of range (the backward-
+    # playback path opts out for the same timeline-identity reason).
+    is_file = (len(entries) == 1
+               and not args.source.startswith("synthetic:"))
     start_pts = args.start
     if args.play_direction == "backward":
         start_pts = None     # reversed timeline; position resume is N/A

@@ -295,15 +295,14 @@ class NativeIndexedSource:
         self._open_ring(n)
 
     def seek_pts(self, pts: float) -> float:
+        if not self._pts:
+            return 0.0
+        import bisect
         target = pts - self._start_pts
-        lo = 0
-        for i, t in enumerate(self._pts):
-            if t <= target + 1e-9:
-                lo = i
-            else:
-                break
+        # _pts is sorted: last frame with pts <= target, O(log n)
+        lo = max(bisect.bisect_right(self._pts, target + 1e-9) - 1, 0)
         self.seek_frame(lo)
-        return (self._start_pts + self._pts[lo]) if self._pts else 0.0
+        return self._start_pts + self._pts[lo]
 
     def stats(self) -> dict:
         s = self._ring.stats()

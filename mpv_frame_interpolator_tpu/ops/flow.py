@@ -163,6 +163,26 @@ _FLOW_K = 12       # distinct-base-offset budget per pyramid step
 _FLOW_BLOW = 96    # low-res padding: covers |off + adj| < _FLOW_BLOW << rs
 
 
+def _shift_clamped(p, s: int, axis: int):
+    """out[..., i] = p[..., clip(i + s, 0, n-1)] with STATIC integer s,
+    built from one slice + one edge-repeat (never a gather -- the chip's
+    gather runs at scalar rate; ARCHITECTURE §3)."""
+    n = p.shape[axis]
+    if s == 0:
+        return p
+    if s > 0:
+        k = min(s, n)
+        edge = jax.lax.slice_in_dim(p, n - 1, n, axis=axis)
+        parts = ([jax.lax.slice_in_dim(p, k, n, axis=axis)] if k < n else []) \
+            + [jnp.repeat(edge, k, axis=axis)]
+    else:
+        k = min(-s, n)
+        edge = jax.lax.slice_in_dim(p, 0, 1, axis=axis)
+        parts = [jnp.repeat(edge, k, axis=axis)] \
+            + ([jax.lax.slice_in_dim(p, 0, n - k, axis=axis)] if k < n else [])
+    return jnp.concatenate(parts, axis=axis) if len(parts) > 1 else parts[0]
+
+
 def _phase_stacks(geom: FlowGeometry, f1y, f1u, f1v):
     """(phY, phU, phV) stacks of shape (s*s, lh+2*Bl, lw+2*Bl) such that
     stack[(oy & m)*s + (ox & m), Bl + cy + (oy>>rs), Bl + cx + (ox>>rs)]
@@ -191,74 +211,101 @@ def _phase_stacks(geom: FlowGeometry, f1y, f1u, f1v):
             lift_pad_phase(f1v, True))
 
 
+def _distinct_min_extract(key_flat, K: int):
+    """The first K distinct values of a NON-NEGATIVE int32 key field, by
+    K sequential masked min-reductions (vals[j] = smallest key greater
+    than vals[j-1]).  K passes over the field beat a full bitonic sort
+    wherever K << log^2(n) -- the distinct budget here is ~12-96 while
+    jnp.sort of a 32k-130k field costs hundreds of compare-exchange
+    passes (measured: the per-step sort was a material slice of the flow
+    budget).  Returns (vals[K] ascending with 0x7FFFFFFF padding, D = how
+    many are real, exceeded = whether distinct values beyond K exist)."""
+    BIG = jnp.int32(0x7FFFFFFF)
+
+    def body(last, _):
+        nxt = jnp.min(jnp.where(key_flat > last, key_flat, BIG))
+        return nxt, nxt
+
+    _, vals = jax.lax.scan(body, jnp.int32(-1), None, length=K)
+    D = jnp.sum((vals < BIG).astype(jnp.int32))
+    # vals[K-1] == BIG when D < K, making this False by construction
+    exceeded = jnp.any(key_flat > vals[K - 1])
+    return vals, D, exceeded
+
+
 def _distinct_base_offsets(off_y, off_x, K: int):
     """Padded table of the distinct (oy, ox) pairs of the committed
-    field; clipped into the key range (out-of-range fields take the
-    gather fallback anyway)."""
+    field, computed from a STRIDE-2 SUBSAMPLE: every commit repeats its
+    adjustment at window >= 2 granularity (adjustOffsetArrayKernel.cl
+    operates per window block; oracle._window_sums_u32) and the initial
+    field is zero, so the committed field is always block-constant on
+    2x2 tiles -- the subsample sees every distinct value at 1/4 the
+    detection cost, and the per-pixel select masks rebuild exactly by 2x
+    repeat.
+
+    Values are clipped into the +-2**11 pack range; the caller's `ok`
+    gate must reject fields whose magnitude reaches the clip (see
+    _pyramid_step_traced) so clipping can never mis-key a selected
+    shift.  Returns (key_b at the subsampled grid, vals[K], D,
+    exceeded)."""
     R = 1 << 11
-    oy = jnp.clip(off_y, -R, R - 1)
-    ox = jnp.clip(off_x, -R, R - 1)
-    key = (oy + R) * (2 * R) + (ox + R)
-    ks = jnp.sort(key.ravel())
-    uniq = jnp.concatenate([jnp.ones((1,), bool), ks[1:] != ks[:-1]])
-    D = uniq.sum()
-    pos = jnp.cumsum(uniq) - 1
-    vals = jnp.full((K,), -1, jnp.int32).at[
-        jnp.where(uniq, pos, K)].set(ks.astype(jnp.int32), mode="drop")
-    return key.astype(jnp.int32), vals, D
+    oy = jnp.clip(off_y[::2, ::2], -R, R - 1)
+    ox = jnp.clip(off_x[::2, ::2], -R, R - 1)
+    key_b = ((oy + R) * (2 * R) + (ox + R)).astype(jnp.int32)
+    vals, D, exceeded = _distinct_min_extract(key_b.ravel(), K)
+    return key_b, vals, D, exceeded
 
 
-def _sample_layers_shift(geom: FlowGeometry, stacks, key, vals, D,
-                         adj_flat, is_y, layers: int):
-    """(y1, u1, v1) int32 (layers, lh, lw) candidate samples via phase
-    slices + masked selects over the distinct base offsets."""
+def _delta_layers_shift(geom: FlowGeometry, stacks, key_b, vals, D,
+                        adj_flat, is_y, layers: int, f2_probe):
+    """(layers, lh, lw) int32 SAD deltas |y1-y2|+|u1-u2|+|v1-v2| of the
+    candidate samples, via phase slices + ONE masked select per distinct
+    base offset (selecting the summed delta instead of the three sample
+    stacks cuts the select traffic 3x vs round 2's sampler)."""
     rs, lh, lw = geom.res_scalar, geom.low_h, geom.low_w
     s = 1 << rs
     m = s - 1
     Bl = _FLOW_BLOW
     R = 1 << 11
     phY, phU, phV = stacks
+    y2, u2, v2 = f2_probe
 
-    def body(carry, j):
-        y1, u1, v1 = carry
+    def body(delta, j):
         v = vals[j]
 
-        def take(carry):
-            y1, u1, v1 = carry
+        def take(delta):
             vy = v // (2 * R) - R
             vx = v % (2 * R) - R
-            mask = key == v
-            ys, us, vs = [], [], []
+            # block-level mask -> per-pixel by 2x repeat (exact: the
+            # committed field is 2x2-block-constant, see
+            # _distinct_base_offsets)
+            mask = jnp.repeat(jnp.repeat(key_b == v, 2, 0), 2, 1)[:lh, :lw]
+            ds = []
             for l in range(layers):
                 oy = vy + adj_flat[l] * is_y
                 ox = vx + adj_flat[l] * (1 - is_y)
                 p = (oy & m) * s + (ox & m)
                 sy = Bl + (oy >> rs)
                 sx = Bl + (ox >> rs)
-                ys.append(jax.lax.dynamic_slice(
-                    phY, (p, sy, sx), (1, lh, lw))[0])
+                y1 = jax.lax.dynamic_slice(
+                    phY, (p, sy, sx), (1, lh, lw))[0].astype(jnp.int32)
                 # chroma planes live in the full-res index domain with
                 # the >>1 fold built into the lifted stacks; the sample
                 # index is floor(o/2) done by the same (phase, shift)
                 # decomposition because the lifted plane IS plane[q>>1]
-                us.append(jax.lax.dynamic_slice(
-                    phU, (p, sy, sx), (1, lh, lw))[0])
-                vs.append(jax.lax.dynamic_slice(
-                    phV, (p, sy, sx), (1, lh, lw))[0])
-            ystk = jnp.stack(ys).astype(jnp.int32)
-            ustk = jnp.stack(us).astype(jnp.int32)
-            vstk = jnp.stack(vs).astype(jnp.int32)
-            sel = mask[None]
-            return (jnp.where(sel, ystk, y1), jnp.where(sel, ustk, u1),
-                    jnp.where(sel, vstk, v1))
+                u1 = jax.lax.dynamic_slice(
+                    phU, (p, sy, sx), (1, lh, lw))[0].astype(jnp.int32)
+                v1 = jax.lax.dynamic_slice(
+                    phV, (p, sy, sx), (1, lh, lw))[0].astype(jnp.int32)
+                ds.append(jnp.abs(y1 - y2) + jnp.abs(u1 - u2)
+                          + jnp.abs(v1 - v2))
+            return jnp.where(mask[None], jnp.stack(ds), delta)
 
-        carry = jax.lax.cond(j < D, take, lambda c: c, (y1, u1, v1))
-        return carry, None
+        return jax.lax.cond(j < D, take, lambda d: d, delta), None
 
     z = jnp.zeros((layers, lh, lw), jnp.int32)
-    (y1, u1, v1), _ = jax.lax.scan(body, (z, z, z),
-                                   jnp.arange(vals.shape[0]))
-    return y1, u1, v1
+    delta, _ = jax.lax.scan(body, z, jnp.arange(vals.shape[0]))
+    return delta
 
 
 def _subsampled_f2(geom: FlowGeometry, f2y, f2u, f2v):
@@ -407,25 +454,69 @@ def blur_flow(offset, lh: int, lw: int):
     return jax.lax.div(acc, jnp.int32(ksz))   # trunc toward zero, like C
 
 
+def _make_commit_branch(window: int, nb_enabled: bool, layers: int,
+                        lh: int, lw: int):
+    """One lax.switch branch of the scanned pyramid: neighbor bias +
+    window block sums + first-min argmin + signed-square commit, all with
+    the window size STATIC.  Round 2 traced the window, which forced the
+    block sums through an integral image read back by per-pixel gathers
+    (4 x layers x lh x lw of them) -- on a chip whose gather runs at
+    ~10ns/element that was ~70%% of the whole flow budget.  Static
+    windows restore the plain zero-pad + reshape block sum of the
+    unrolled form (exact mod 2**32 under any association, so the
+    reference's atomic-add wraparound semantics survive,
+    calcDeltaSumsKernel.cl:187) and make the neighbor fetch a static
+    clamped shift (slice + edge-repeat).
+
+    Branch signature: (partial0, prev_plane, probe, nbs, radius_t) ->
+    adj2 (lh, lw) int32, the signed-square commit of this step's argmin
+    (determineLowestLayerKernel.cl + adjustOffsetArrayKernel.cl:14)."""
+    w2 = 2 * window
+
+    def branch(partial0, prev_plane, probe, nbs, radius_t):
+        partial = partial0
+        if nb_enabled:
+            # neighbor bias at +-2*window, clamped (cl:137-151)
+            nb = jnp.zeros((layers, lh, lw), jnp.uint32)
+            for axis in (1, 0):
+                for sign in (1, -1):
+                    n_off = _shift_clamped(prev_plane, sign * w2, axis)
+                    nb = nb + jnp.abs(n_off[None] - probe).astype(jnp.uint32)
+            partial = partial + (nb << nbs.astype(jnp.uint32))
+        nwy, nwx = -(-lh // window), -(-lw // window)
+        if window > 1:
+            padded = jnp.zeros((layers, nwy * window, nwx * window),
+                               jnp.uint32)
+            padded = padded.at[:, :lh, :lw].set(partial)
+            sums = padded.reshape(layers, nwy, window, nwx, window).sum(
+                axis=(2, 4), dtype=jnp.uint32)
+        else:
+            sums = partial
+        z = jnp.arange(layers, dtype=jnp.int32)
+        invalid = (z >= radius_t)[:, None, None]
+        sums = jnp.where(invalid, jnp.uint32(0xFFFFFFFF), sums)
+        lowest = jnp.argmin(sums, axis=0).astype(jnp.int32)  # first min
+        rel2 = jnp.mod(lowest, radius_t) - radius_t // 2
+        adj2 = jnp.where(rel2 > 0, rel2 * rel2, -(rel2 * rel2))
+        if window > 1:
+            adj2 = jnp.repeat(jnp.repeat(adj2, window, 0),
+                              window, 1)[:lh, :lw]
+        return adj2
+
+    return branch
+
+
 def _pyramid_step_traced(geom: FlowGeometry, layers: int,
-                         radius_t, window_t, is_y_t, nb_t,
+                         radius_t, branch_t, is_y_t, branches,
                          off_x, off_y, f1y, f1u, f1v, f2_probe,
                          delta_scalar, neighbor_bias_scalar,
                          luma_shift: int, stacks=None):
-    """ONE pyramid (iteration, step) with the window size, step parity,
-    and neighbor flag all TRACED -- the lax.scan body of the scanned flow
-    program (see _flow_impl).  Bit-exact with the unrolled
-    _delta_sums_one_step/_commit_winner pair:
-
-    * the per-window block sum is computed through an inclusive integral
-      image + inclusion/exclusion -- uint32 addition/subtraction is exact
-      mod 2**32 regardless of association, so the wraparound semantics of
-      the reference's atomic adds (calcDeltaSumsKernel.cl:187) survive the
-      reassociation;
-    * each pixel reads ITS block's sum, so the per-layer argmin and the
-      signed-square commit happen per pixel with identical values per
-      block (no repeat/crop step needed).
-    """
+    """ONE pyramid (iteration, step) -- the lax.scan body of the scanned
+    flow program (see _flow_impl_scan).  The step parity is traced (a
+    cheap select); the window size and neighbor flag are STATIC inside
+    the lax.switch branch selected by `branch_t` (= the iteration index;
+    there are only `iterations` distinct windows).  Bit-exact with the
+    unrolled _delta_sums_one_step/_commit_winner pair."""
     rs, lh, lw = geom.res_scalar, geom.low_h, geom.low_w
     H, W = geom.height, geom.stride
     y2, u2, v2 = f2_probe
@@ -446,82 +537,49 @@ def _pyramid_step_traced(geom: FlowGeometry, layers: int,
     probe = jnp.where(is_y == 1, cand_y, cand_x)
     prev_plane = jnp.where(is_y == 1, off_y, off_x)
 
-    def gather_samples(_):
+    def gather_delta(_):
         new_cx = mirror_inside(scaled_cx[None] + cand_x, W)
         new_cy = mirror_inside(scaled_cy[None] + cand_y, H)
-        return (_gather(f1y, new_cy, new_cx).astype(jnp.int32),
-                _gather(f1u, new_cy >> 1, new_cx >> 1).astype(jnp.int32),
-                _gather(f1v, new_cy >> 1, new_cx >> 1).astype(jnp.int32))
+        y1 = _gather(f1y, new_cy, new_cx).astype(jnp.int32)
+        u1 = _gather(f1u, new_cy >> 1, new_cx >> 1).astype(jnp.int32)
+        v1 = _gather(f1v, new_cy >> 1, new_cx >> 1).astype(jnp.int32)
+        return (jnp.abs(y1 - y2[None]) + jnp.abs(u1 - u2[None])
+                + jnp.abs(v1 - v2[None]))
 
     if stacks is None:
-        y1, u1, v1 = gather_samples(None)
+        delta = gather_delta(None)
     else:
         # phase-decomposed candidate sampling over the distinct committed
-        # offsets (see _sample_layers_shift); gather fallback at runtime
+        # offsets (see _delta_layers_shift); gather fallback at runtime
         # for wild fields
-        key, vals, D = _distinct_base_offsets(off_y, off_x, _FLOW_K)
+        key_b, vals, D, exceeded = _distinct_base_offsets(off_y, off_x,
+                                                          _FLOW_K)
         max_adj = (layers // 2) ** 2
         mag = jnp.maximum(jnp.max(jnp.abs(off_x)), jnp.max(jnp.abs(off_y)))
-        ok = (D <= _FLOW_K) & (mag + max_adj <= (_FLOW_BLOW << rs) - 1)
+        # third conjunct: the pack keys clip at +-2**11; past that a
+        # shift could be mis-keyed without tripping the padding bound
+        # (possible at res_scalar >= 5, i.e. beyond-8K geometries)
+        ok = (~exceeded) & (mag + max_adj <= (_FLOW_BLOW << rs) - 1) \
+            & (mag < (1 << 11))
         adj_flat = adj[:, 0, 0]
 
-        def shift_samples(_):
-            return _sample_layers_shift(geom, stacks, key, vals, D,
-                                        adj_flat, is_y, layers)
+        def shift_delta(_):
+            return _delta_layers_shift(geom, stacks, key_b, vals, D,
+                                       adj_flat, is_y, layers,
+                                       (y2, u2, v2))
 
-        y1, u1, v1 = jax.lax.cond(ok, shift_samples, gather_samples, None)
+        delta = jax.lax.cond(ok, shift_delta, gather_delta, None)
 
-    delta = (jnp.abs(y1 - y2[None]) + jnp.abs(u1 - u2[None])
-             + jnp.abs(v1 - v2[None])).astype(jnp.uint32)
+    delta = delta.astype(jnp.uint32)
     if luma_shift:
+        # P010 path: compare top 8 bits so bias weights keep their meaning.
         delta = delta >> np.uint32(luma_shift)
     delta = delta << delta_scalar.astype(jnp.uint32)
 
-    offset_bias = jnp.abs(probe).astype(jnp.uint32)
+    partial0 = delta + jnp.abs(probe).astype(jnp.uint32)  # + offset bias
 
-    # neighbor bias at +-2*window, clamped (traced shift -> clamped gather)
-    w2 = 2 * jnp.asarray(window_t, jnp.int32)
-    xs = jnp.arange(lw, dtype=jnp.int32)
-    ys = jnp.arange(lh, dtype=jnp.int32)
-    nb = jnp.zeros((layers, lh, lw), jnp.uint32)
-    for sign in (1, -1):
-        nx = jnp.clip(xs + sign * w2, 0, lw - 1)
-        n_off = prev_plane[:, nx]
-        nb = nb + jnp.abs(n_off[None] - probe).astype(jnp.uint32)
-        ny = jnp.clip(ys + sign * w2, 0, lh - 1)
-        n_off = prev_plane[ny, :]
-        nb = nb + jnp.abs(n_off[None] - probe).astype(jnp.uint32)
-    neighbor_bias = (nb << neighbor_bias_scalar.astype(jnp.uint32)) \
-        * nb_t.astype(jnp.uint32)
-
-    partial = delta + offset_bias + neighbor_bias   # uint32 wraparound
-
-    # per-window block sums via inclusive integral image (traced window)
-    ii = jnp.cumsum(jnp.cumsum(partial, axis=1, dtype=jnp.uint32),
-                    axis=2, dtype=jnp.uint32)
-    ii = jnp.pad(ii, ((0, 0), (1, 0), (1, 0)))      # leading zero row/col
-    w_t = jnp.asarray(window_t, jnp.int32)
-    by0 = (cyg // w_t) * w_t
-    bx0 = (cxg // w_t) * w_t
-    by1 = jnp.minimum(by0 + w_t, lh)                # exclusive ends
-    bx1 = jnp.minimum(bx0 + w_t, lw)
-    flat = ii.reshape(layers, -1)
-    stride = lw + 1
-
-    def corner(yy, xx):
-        return jnp.take(flat, (yy * stride + xx).reshape(-1), axis=1,
-                        mode="clip").reshape(layers, lh, lw)
-
-    sums = (corner(by1, bx1) - corner(by0, bx1)
-            - corner(by1, bx0) + corner(by0, bx0))
-
-    invalid = (z >= radius_t)[:, None, None]
-    sums = jnp.where(invalid, jnp.uint32(0xFFFFFFFF), sums)
-
-    # determineLowestLayer + adjustOffsetArray, per pixel
-    lowest = jnp.argmin(sums, axis=0).astype(jnp.int32)   # first minimum
-    rel2 = jnp.mod(lowest, radius_t) - radius_t // 2
-    adj2 = jnp.where(rel2 > 0, rel2 * rel2, -(rel2 * rel2))
+    adj2 = jax.lax.switch(branch_t, branches, partial0, prev_plane, probe,
+                          neighbor_bias_scalar, radius_t)
     off_x = off_x + adj2 * (1 - is_y)
     off_y = off_y + adj2 * is_y
     return off_x, off_y
@@ -545,21 +603,22 @@ def _flow_impl_scan(geom: FlowGeometry, radius, luma_shift: int,
     stacks = _phase_stacks(geom, f1y, f1u, f1v) \
         if sampling == "shift" else None
 
-    windows, parities, nb_flags = [], [], []
-    for it, w in enumerate(geom.window_schedule()):
+    branches = tuple(
+        _make_commit_branch(w, it >= FIRST_NEIGHBOR_ITERATION, layers,
+                            lh, lw)
+        for it, w in enumerate(geom.window_schedule()))
+    bidx, parities = [], []
+    for it in range(len(branches)):
         for step in (0, 1):
-            windows.append(w)
+            bidx.append(it)
             parities.append(step)
-            nb_flags.append(1 if it >= FIRST_NEIGHBOR_ITERATION else 0)
-    xs = (jnp.asarray(windows, jnp.int32),
-          jnp.asarray(parities, jnp.int32),
-          jnp.asarray(nb_flags, jnp.uint32))
+    xs = (jnp.asarray(bidx, jnp.int32), jnp.asarray(parities, jnp.int32))
 
     def body(carry, x):
         off_x, off_y = carry
-        w_t, isy_t, nb_t = x
+        b_t, isy_t = x
         off_x, off_y = _pyramid_step_traced(
-            geom, layers, radius, w_t, isy_t, nb_t, off_x, off_y,
+            geom, layers, radius, b_t, isy_t, branches, off_x, off_y,
             f1y, f1u, f1v, f2_probe, delta_scalar, neighbor_bias_scalar,
             luma_shift, stacks)
         return (off_x, off_y), None

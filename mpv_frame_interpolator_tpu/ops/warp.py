@@ -216,18 +216,17 @@ def _mirror_padded(plane, B: int, dim_y: int, dim_x: int):
 
 def _distinct_displacements(dy_low, dx_low, K: int):
     """Padded table of the distinct (dy,dx) pairs of a low-res field.
-    Returns (key_low, vals[K], D): vals[j] for j < D are the distinct
-    packed keys (sorted), the rest are -1."""
+    Returns (key_low, vals[K], D, exceeded): vals[j] for j < D are the
+    distinct packed keys (ascending), the rest 0x7FFFFFFF; `exceeded`
+    flags distinct values beyond the K budget (-> gather fallback).
+    Distinct detection is K sequential masked min-reductions, which beat
+    a full bitonic sort of the field (ops/flow._distinct_min_extract)."""
+    from mpv_frame_interpolator_tpu.ops.flow import _distinct_min_extract
     B = _ROLL_B
     SPAN = 2 * B + 2
-    key = (dy_low + B) * SPAN + (dx_low + B)
-    ks = jnp.sort(key.ravel())
-    uniq = jnp.concatenate([jnp.ones((1,), bool), ks[1:] != ks[:-1]])
-    D = uniq.sum()
-    pos = jnp.cumsum(uniq) - 1
-    vals = jnp.full((K,), -1, jnp.int32).at[
-        jnp.where(uniq, pos, K)].set(ks, mode="drop")
-    return key, vals, D
+    key = ((dy_low + B) * SPAN + (dx_low + B)).astype(jnp.int32)
+    vals, D, exceeded = _distinct_min_extract(key.ravel(), K)
+    return key, vals, D, exceeded
 
 
 def _shift_sample(padded, key_full, vals, D, out_h: int, out_w: int,
@@ -299,18 +298,17 @@ def _sample_all_planes(geom, fields, f1y, f1u, f1v, f2y, f2u, f2v,
     key12cf = _upsample_uv(geom, pack(c12y, c12x))
     key21cf = _upsample_uv(geom, pack(c21y, c21x))
 
-    _, v12, D12 = _distinct_displacements(clip(d12y), clip(d12x), K)
-    _, v21, D21 = _distinct_displacements(clip(d21y), clip(d21x), K)
-    _, v12c, D12c = _distinct_displacements(clip(c12y[::2, ::2]),
-                                            clip(c12x[::2, ::2]), K)
-    _, v21c, D21c = _distinct_displacements(clip(c21y[::2, ::2]),
-                                            clip(c21x[::2, ::2]), K)
+    _, v12, D12, x12 = _distinct_displacements(clip(d12y), clip(d12x), K)
+    _, v21, D21, x21 = _distinct_displacements(clip(d21y), clip(d21x), K)
+    _, v12c, D12c, x12c = _distinct_displacements(clip(c12y[::2, ::2]),
+                                                  clip(c12x[::2, ::2]), K)
+    _, v21c, D21c, x21c = _distinct_displacements(clip(c21y[::2, ::2]),
+                                                  clip(c21x[::2, ::2]), K)
 
     mag = jnp.maximum(
         jnp.maximum(jnp.max(jnp.abs(d12x)), jnp.max(jnp.abs(d12y))),
         jnp.maximum(jnp.max(jnp.abs(d21x)), jnp.max(jnp.abs(d21y))))
-    ok = ((D12 <= K) & (D21 <= K) & (D12c <= K) & (D21c <= K)
-          & (mag <= B - 2))
+    ok = (~(x12 | x21 | x12c | x21c)) & (mag <= B - 2)
 
     def shift_branch(_):
         p1 = _mirror_padded(f1y, B, H, Wa)

@@ -86,6 +86,24 @@ class EngineConfig:
     max_calc_res: int = 270                          # config.h:2
     num_iterations: int = 0                          # config.h:4
     measure_timing: bool = True                      # feed quality controller
+    # How the per-source-frame compute duration fed to the quality
+    # controller is measured (vf_HopperRender.c:326-345 event-timing
+    # analog):
+    #   "block"     = wall time until the last output's
+    #                 block_until_ready returns (reference-authentic;
+    #                 honest on any host where block waits for real
+    #                 completion -- i.e. every production TPU host).
+    #   "amortized" = every timing_sync_period-th warm push ends with ONE
+    #                 data-dependent scalar readback (a 4-byte transfer
+    #                 that cannot complete before the device work does),
+    #                 minus the separately measured readback RTT.  Immune
+    #                 to relays whose ack path returns before execution
+    #                 (this sandbox; see bench.py:_honest_sync) at the
+    #                 cost of one tiny readback per period and a single
+    #                 measurement per period (the controller treats the
+    #                 in-between pushes as "no measurement").
+    timing_source: str = "block"
+    timing_sync_period: int = 8
     playback_speed: float = 1.0
     precompile: bool = False         # compile all batch sizes at init
     # compile the OTHER plausible warp-batch sizes on a background thread
@@ -153,6 +171,17 @@ class EngineConfig:
     #              the gather program AT RUNTIME on pathological fields)
     #   "gather" = per-pixel gather everywhere (the round-1 design)
     warp_sampling: str = "shift"
+    # compiled flow LAYER-count variants.  The search radius is traced, so
+    # radius changes inside a bucket never recompile -- but round 2 kept a
+    # single MAX_SEARCH_RADIUS(16)-layer program, so the quality
+    # controller's degradation changed the argmin mask and not one
+    # millisecond of chip time (the reference scales its launch grid's
+    # layer dimension with the LIVE radius, opticalFlowCalc.c:130, which
+    # is exactly how its TooSlow rescue works).  Buckets restore that:
+    # radius r runs the smallest compiled variant with layers >= r, so
+    # stepping 16 -> 5 really cuts the per-step candidate work ~3.2x.
+    # () disables (single 16-layer program, the round-2 behavior).
+    layer_buckets: tuple = (5, 8, 16)
     # measured fractional-pel flow (ops/flow.subpel_refine): parabolic
     # sub-pel refinement of the committed integer flow.  The bilinear
     # families (hopperq/hopperxq) consume it at 1/64-pel in the warp; the
@@ -185,6 +214,14 @@ class EngineConfig:
             raise ValueError("warp_loop must be vmap|scan")
         if self.warp_sampling not in ("shift", "gather"):
             raise ValueError("warp_sampling must be shift|gather")
+        if self.timing_source not in ("block", "amortized"):
+            raise ValueError("timing_source must be block|amortized")
+        if self.timing_sync_period < 1:
+            raise ValueError("timing_sync_period must be >= 1")
+        self.layer_buckets = tuple(sorted(int(b) for b in
+                                          self.layer_buckets))
+        if any(b < 2 for b in self.layer_buckets):
+            raise ValueError("layer buckets must be >= 2")
 
 
 class OutputFrame:
@@ -245,14 +282,18 @@ class _DeviceFrame:
 
 def _flow_stage(geom, scale_shift, scene_enabled, model, pallas_blur,
                 f1y, f1u, f1v, f2y, f2u, f2v, radius, ds, nbs,
-                scene_threshold, subpel: bool = False):
+                scene_threshold, subpel: bool = False, layers: int = None):
     """Traced flow half of a source pair: scene score + hierarchical flow.
     Returns (blurred flow, frac or None, cut_score).  `frac` is the
     1/64-pel refinement field when subpel_flow is enabled for a bilinear
-    family (ops/flow.subpel_refine), else None."""
+    family (ops/flow.subpel_refine), else None.  `layers` is the static
+    layer count of this program variant (the bucket; see
+    EngineConfig.layer_buckets) -- the traced radius must be <= layers."""
     from mpv_frame_interpolator_tpu.ops.flow import (
         _flow_impl, _subsampled_f2, subpel_refine)
     from mpv_frame_interpolator_tpu.ops.oracle import MAX_SEARCH_RADIUS
+    if layers is None:
+        layers = MAX_SEARCH_RADIUS
     if scene_enabled:
         cut_score = scene_mod.cut_score(f1y, f2y, geom.res_scalar,
                                         scale_shift)
@@ -263,7 +304,7 @@ def _flow_stage(geom, scale_shift, scene_enabled, model, pallas_blur,
     if model in ("hopper", "hopperx", "hopperq", "hopperxq"):
         offset, blurred = _flow_impl(geom, radius, scale_shift,
                                      f1y, f1u, f1v, f2y, f2u, f2v,
-                                     ds, nbs, layers=MAX_SEARCH_RADIUS,
+                                     ds, nbs, layers=layers,
                                      pallas_blur=pallas_blur)
         if subpel:
             # refine the UNBLURRED committed flow -- that's the SAD argmin
@@ -360,7 +401,8 @@ def _make_source_step(geom: FlowGeometry, mode: int,
                       scale_shift: int, cut_policy: str,
                       scene_enabled: bool, model: str = "hopper",
                       pallas_blur: bool = False, warp_loop: str = "vmap",
-                      subpel: bool = False, warp_sampling: str = "shift"):
+                      subpel: bool = False, warp_sampling: str = "shift",
+                      layers: int = None):
     """ONE fused device dispatch per source pair: scene-cut score ->
     hierarchical flow -> N batched warps -> NV12 re-interleave.
 
@@ -379,7 +421,7 @@ def _make_source_step(geom: FlowGeometry, mode: int,
         blurred, frac, cut_score = _flow_stage(
             geom, scale_shift, scene_enabled, model, pallas_blur,
             f1y, f1u, f1v, f2y, f2u, f2v, radius, ds, nbs, scene_threshold,
-            subpel)
+            subpel, layers)
         y, uv = _warp_stage(
             geom, mode, scale_shift, cut_policy, scene_enabled, model,
             f1y, f1u, f1v, f2y, f2u, f2v, blurred, cut_score, ts,
@@ -392,7 +434,7 @@ def _make_source_step(geom: FlowGeometry, mode: int,
 @functools.lru_cache(maxsize=32)
 def _make_flow_step(geom: FlowGeometry, scale_shift: int,
                     scene_enabled: bool, model: str, pallas_blur: bool,
-                    subpel: bool = False):
+                    subpel: bool = False, layers: int = None):
     """Flow-only program for split-timing (opticalFlowCalc.c:111-122
     OFC-event analog).  Same traced code as the fused step's first half.
     Returns (blurred, frac-or-None, cut_score)."""
@@ -401,7 +443,8 @@ def _make_flow_step(geom: FlowGeometry, scale_shift: int,
         f2u, f2v = f2uv[:, 0::2], f2uv[:, 1::2]
         return _flow_stage(geom, scale_shift, scene_enabled, model,
                            pallas_blur, f1y, f1u, f1v, f2y, f2u, f2v,
-                           radius, ds, nbs, scene_threshold, subpel)
+                           radius, ds, nbs, scene_threshold, subpel,
+                           layers)
     return jax.jit(step)
 
 
@@ -459,6 +502,9 @@ class InterpolationEngine:
         self._bg_started = False
         self._bg_active = False
         self._scalar_cache = {}
+        # amortized timing state (EngineConfig.timing_source)
+        self._sync_rtt = None
+        self._pushes_since_sync = 0
         if self.config.compilation_cache_dir:
             import os as _os
             jax.config.update(
@@ -501,6 +547,16 @@ class InterpolationEngine:
         if self.config.precompile:
             self._precompile()
 
+    def _layers_for(self, radius: int) -> int:
+        """Static layer count (compiled variant) serving `radius`: the
+        smallest configured bucket >= radius (EngineConfig.layer_buckets).
+        Radius stays traced within the bucket."""
+        from mpv_frame_interpolator_tpu.ops.oracle import MAX_SEARCH_RADIUS
+        for b in self.config.layer_buckets:
+            if b >= radius:
+                return b
+        return max(radius, MAX_SEARCH_RADIUS)
+
     def _plausible_batch_sizes(self):
         """Batch sizes the current display/source ratio can produce."""
         ratio = max(self.cadence.target_frame_time
@@ -508,10 +564,14 @@ class InterpolationEngine:
         base_n = max(int(np.ceil(1.0 / ratio)), 1)
         return {1, base_n, max(base_n - 1, 1), base_n + 1}
 
-    def _warm_batch_sizes(self, sizes) -> int:
+    def _warm_batch_sizes(self, sizes, layers: int = None) -> int:
         """Execute the fused step once per still-cold batch size (zeros
-        input): populates the jit + persistent compile caches."""
+        input): populates the jit + persistent compile caches.  `layers`
+        selects the flow layer bucket to warm (default: the bucket the
+        current radius runs)."""
         h, w = self.geom.height, self.geom.stride
+        if layers is None:
+            layers = self._layers_for(self.quality.search_radius)
         dt = np.uint16 if self._scale_shift else np.uint8
         zy = jnp.zeros((h, w), dt)
         zuv = jnp.zeros((h // 2, w), dt)
@@ -521,19 +581,19 @@ class InterpolationEngine:
                                  self.config.pallas_blur,
                                  self.config.warp_loop,
                                  self.config.subpel_flow,
-                                 self.config.warp_sampling)
+                                 self.config.warp_sampling, layers)
         warmed = 0
         if self.config.batch_shapes == "bucket":
             sizes = {_bucket_size(n) for n in sizes}
         for n in sorted(sizes):
             if _warm_shutdown is not None and _warm_shutdown.is_set():
                 break
-            spec = (self.frame_output_mode, n, self.config.model)
+            spec = (self.frame_output_mode, n, self.config.model, layers)
             if spec in self._warm:
                 continue
             out = step(zy, zuv, zy, zuv,
                        jnp.zeros((n,), jnp.float32),
-                       jnp.int32(self.quality.search_radius),
+                       jnp.int32(min(self.quality.search_radius, layers)),
                        jnp.int32(8), jnp.int32(6),
                        jnp.float32(0.0), jnp.float32(255.0),
                        jnp.float32(self.scene.threshold))
@@ -546,12 +606,15 @@ class InterpolationEngine:
         """Compile the plausible batch-size specializations up front so the
         quality controller never observes compile time (the reference
         builds its kernels once at init, opticalFlowCalc.c:404-408).  The
-        search radius is traced, so one program per batch size covers all
-        radii."""
+        search radius is traced within a bucket, so (batch size x layer
+        bucket) covers every radius the controller can pick."""
         t0 = time.perf_counter()
-        n = self._warm_batch_sizes(self._plausible_batch_sizes())
-        log.info("precompiled %d batch sizes (all radii shared) in %.1fs",
-                 n, time.perf_counter() - t0)
+        sizes = self._plausible_batch_sizes()
+        n = self._warm_batch_sizes(sizes)
+        for b in self.config.layer_buckets:
+            n += self._warm_batch_sizes(sizes, layers=b)
+        log.info("precompiled %d batch-size/bucket specs (all radii "
+                 "shared) in %.1fs", n, time.perf_counter() - t0)
 
     def _start_background_precompile(self):
         """After the first frame is delivered, warm the REMAINING batch
@@ -569,9 +632,16 @@ class InterpolationEngine:
             try:
                 t0 = time.perf_counter()
                 n = self._warm_batch_sizes(self._plausible_batch_sizes())
+                # then the OTHER layer buckets, so the quality
+                # controller's bucket changes never stall playback either
+                cur = self._layers_for(self.quality.search_radius)
+                for b in self.config.layer_buckets:
+                    if b != cur:
+                        n += self._warm_batch_sizes(
+                            self._plausible_batch_sizes(), layers=b)
                 if n:
-                    log.info("background-precompiled %d batch sizes in "
-                             "%.1fs", n, time.perf_counter() - t0)
+                    log.info("background-precompiled %d batch-size/bucket "
+                             "specs in %.1fs", n, time.perf_counter() - t0)
             except Exception:   # never kill playback from the warm thread
                 log.exception("background precompile failed")
             finally:
@@ -655,7 +725,23 @@ class InterpolationEngine:
         n_out = len(plan.outputs)
         n_batch = (_bucket_size(n_out)
                    if self.config.batch_shapes == "bucket" else n_out)
-        spec_key = (self.frame_output_mode, n_batch, self.config.model)
+        layers = self._layers_for(self.quality.search_radius)
+        spec_key = (self.frame_output_mode, n_batch, self.config.model,
+                    layers)
+        if spec_key not in self._warm and self.config.background_precompile:
+            # the wanted bucket isn't compiled yet: serve this pair from a
+            # LARGER warm bucket (always valid -- layers >= radius -- and
+            # bit-identical, tests/test_layer_buckets.py) instead of
+            # stalling playback on a compile; the background thread warms
+            # the wanted bucket (vd_lavc would rather show a frame late
+            # than never)
+            for b in self.config.layer_buckets:
+                if b > layers and (self.frame_output_mode, n_batch,
+                                   self.config.model, b) in self._warm:
+                    layers = b
+                    spec_key = (self.frame_output_mode, n_batch,
+                                self.config.model, b)
+                    break
         was_warm = spec_key in self._warm
 
         t0 = time.perf_counter()
@@ -694,7 +780,7 @@ class InterpolationEngine:
                 self.config.cut_policy, self.scene.enabled,
                 self.config.model, self.config.pallas_blur,
                 self.config.warp_loop, self.config.subpel_flow,
-                self.config.warp_sampling)
+                self.config.warp_sampling, layers)
             y, uv, blurred, cut_score = step(*args, ts, *knobs, *levels,
                                              thr)
             dur = None
@@ -705,15 +791,18 @@ class InterpolationEngine:
             for i, slot in enumerate(plan.outputs)]
 
         if self.config.measure_timing and outputs:
-            if dur is None:
+            if dur is None and self.config.timing_source == "amortized":
+                dur = self._amortized_duration(outputs[-1], t0)
+            elif dur is None:
                 outputs[-1].block()
                 dur = time.perf_counter() - t0
             if was_warm and not self._bg_active:
                 self._last_calc_duration = dur
-                self.stats.add("source_frame_time", dur)
-                if self.config.stats_log_path:
-                    with open(self.config.stats_log_path, "a") as fh:
-                        fh.write(f"{dur:.6f}\n")
+                if dur > 0.0:     # amortized mode: 0 = "no sample yet"
+                    self.stats.add("source_frame_time", dur)
+                    if self.config.stats_log_path:
+                        with open(self.config.stats_log_path, "a") as fh:
+                            fh.write(f"{dur:.6f}\n")
                 if self.config.split_timing == "auto" and self._split_wanted:
                     split_spec = (self.quality.search_radius,
                                   self.frame_output_mode, len(outputs),
@@ -733,6 +822,39 @@ class InterpolationEngine:
         self._start_background_precompile()
         return outputs
 
+    # -- amortized honest timing (see EngineConfig.timing_source) --------
+
+    def _measure_sync_rtt(self) -> float:
+        """Fixed cost of one data-dependent scalar readback (the honest
+        sync primitive): median of 3 on a tiny array, measured once.  The
+        FIRST readback of a process may pay a one-time transfer-channel
+        setup; it is excluded by a throwaway warm read."""
+        x = jnp.zeros((8,), jnp.uint8)
+        np.asarray(x[-1:])                     # channel warm (one-time)
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray((x + 1)[-1:])
+            ts.append(time.perf_counter() - t0)
+        return sorted(ts)[1]
+
+    def _amortized_duration(self, last_out, t0: float) -> float:
+        """Every timing_sync_period-th warm push: ONE data-dependent
+        scalar readback of the final output (cannot complete before the
+        device work does) minus the measured sync RTT = an honest
+        per-pair duration sample, even on hosts whose block/ack path
+        returns before execution.  Other pushes return 0.0 ("no
+        measurement"; QualityController.update skips those)."""
+        self._pushes_since_sync += 1
+        if self._pushes_since_sync < self.config.timing_sync_period:
+            return 0.0
+        self._pushes_since_sync = 0
+        if self._sync_rtt is None:
+            self._sync_rtt = self._measure_sync_rtt()
+        y, uv = last_out.device_planes()
+        np.asarray(uv.ravel()[-1:])            # 4-byte honest sync
+        return max(time.perf_counter() - t0 - self._sync_rtt, 0.0)
+
     # -- split flow/warp timing (see EngineConfig.split_timing) ----------
 
     def request_split_timing(self):
@@ -744,7 +866,9 @@ class InterpolationEngine:
         flow_fn = _make_flow_step(self.geom, self._scale_shift,
                                   self.scene.enabled, self.config.model,
                                   self.config.pallas_blur,
-                                  self.config.subpel_flow)
+                                  self.config.subpel_flow,
+                                  self._layers_for(
+                                      self.quality.search_radius))
         warp_fn = _make_warp_step(self.geom, self.frame_output_mode,
                                   self._scale_shift, self.config.cut_policy,
                                   self.scene.enabled, self.config.model,

@@ -1,0 +1,73 @@
+"""Honest amortized controller timing (VERDICT r2 item 4).
+
+EngineConfig.timing_source="amortized" replaces the wall-to-block
+measurement (fiction on hosts whose block/ack path returns before device
+execution) with a periodic data-dependent scalar readback minus the
+measured sync RTT.  On the CPU backend both sources are honest, so the
+amortized samples must land in the same ballpark as the block samples --
+and the controller must actually receive them.
+"""
+
+import numpy as np
+
+from mpv_frame_interpolator_tpu.io import synthetic
+from mpv_frame_interpolator_tpu.pipeline.engine import (
+    EngineConfig, InterpolationEngine)
+
+
+def _drive(engine, frames):
+    n = 0
+    for f in frames:
+        n += len(engine.push(f))
+    return n
+
+
+def _build(source, period=4):
+    return InterpolationEngine(EngineConfig(
+        display_fps=60.0, auto_quality=False, initial_search_radius=5,
+        measure_timing=True, background_precompile=False,
+        timing_source=source, timing_sync_period=period))
+
+
+def test_amortized_samples_reach_controller():
+    cfg = synthetic.SyntheticConfig(width=96, height=64, fps=24.0)
+    frames = list(synthetic.moving_box(cfg, 14))
+    e = _build("amortized", period=4)
+    durs = []
+    orig_update = e.quality.update
+
+    def spy(d, cadence):
+        durs.append(d)
+        return orig_update(d, cadence)
+
+    e.quality.update = spy
+    _drive(e, frames)
+    samples = [d for d in durs if d > 0.0]
+    zeros = [d for d in durs if d == 0.0]
+    # one sample per period; the other pushes report "no measurement"
+    assert samples, durs
+    assert len(zeros) > len(samples)
+    # registered in stats too (source_frame_time only gets real samples)
+    assert e.stats.summary()["source_frame_time"]["count"] == len(samples)
+
+
+def test_amortized_agrees_with_block_on_honest_host():
+    cfg = synthetic.SyntheticConfig(width=96, height=64, fps=24.0)
+    frames = list(synthetic.moving_box(cfg, 18))
+    e_b = _build("block")
+    e_a = _build("amortized", period=3)
+    _drive(e_b, frames)
+    _drive(e_a, frames)
+    mb = e_b.stats.summary()["source_frame_time"]["mean"]
+    ma = e_a.stats.summary()["source_frame_time"]["mean"]
+    # CPU block_until_ready is honest, so the two must agree within noise
+    # (wide margin: 1-core CI hosts jitter)
+    assert ma < mb * 5 + 0.05 and mb < ma * 5 + 0.05, (mb, ma)
+
+
+def test_validation():
+    import pytest
+    with pytest.raises(ValueError):
+        EngineConfig(timing_source="nope")
+    with pytest.raises(ValueError):
+        EngineConfig(timing_sync_period=0)
