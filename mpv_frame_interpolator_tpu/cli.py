@@ -204,15 +204,58 @@ def make_source(args):
         return gen(cfg, n), cfg.width, cfg.height
     if args.source == "-":
         from mpv_frame_interpolator_tpu.io import ingest
+        raw = sys.stdin.buffer.raw
+        # sniff the pipe: EBML / ISO-BMFF magic means a piped CONTAINER
+        # (spool + indexed native ingest); anything else is y4m
+        magic = b""
+        while len(magic) < 12:
+            chunk = raw.read(12 - len(magic))
+            if not chunk:
+                break
+            magic += chunk
+        is_ebml = magic.startswith(b"\x1aE\xdf\xa3")
+        is_mp4 = len(magic) >= 8 and magic[4:8] == b"ftyp"
+        if is_ebml or is_mp4:
+            path = _spool_stdin_container(
+                raw, magic, ".mkv" if is_ebml else ".mp4")
+            reader_cls, err_cls, name = _container_kind(path)
+            try:
+                rdr = _open_container_path(args, path, reader_cls)
+            except err_cls as e:
+                raise SystemExit(f"cannot open piped {name}: {e}")
+            return rdr, rdr.width, rdr.height
         if args.ingest != "python" and ingest.have_native_ingest():
-            # the C++ ring reads the raw stdin fd directly (no buffered
-            # layer stealing bytes); pipes stream, they just can't seek
-            rdr = ingest.NativeY4MSource(sys.stdin.buffer.raw)
+            # the C++ ring reads an fd directly (no buffered layer
+            # stealing bytes); the sniffed magic is replayed through a
+            # feeder pipe.  Pipes stream, they just can't seek.
+            rdr = ingest.NativeY4MSource(_replay_fd(magic, raw))
         else:
-            rdr = y4m.Y4MReader(sys.stdin.buffer)
+            import io as _io
+            rdr = y4m.Y4MReader(_io.BufferedReader(
+                _io.FileIO(_replay_fd(magic, raw), "rb")))
         return rdr, rdr.width, rdr.height
     from mpv_frame_interpolator_tpu.io.stream import is_stream_url, open_stream
     if is_stream_url(args.source):
+        from urllib.parse import urlparse
+        upath = urlparse(args.source).path
+        if upath.endswith((".mkv", ".webm", ".mp4", ".mov", ".m4v")):
+            # container over http(s): byte-range seeking when the server
+            # supports it (stream_lavf.c http analog), else the y4m-style
+            # spool path below can't parse containers -> hard error with
+            # the reason
+            from mpv_frame_interpolator_tpu.io.stream import open_http_file
+            fh = open_http_file(args.source)
+            if fh is None:
+                raise SystemExit(
+                    f"{args.source!r}: server lacks byte-range support; "
+                    "containers need it (serve as .y4m to stream instead)")
+            if upath.endswith((".mkv", ".webm")):
+                from mpv_frame_interpolator_tpu.io.mkv import MKVReader
+                rdr = MKVReader(fh)
+            else:
+                from mpv_frame_interpolator_tpu.io.mp4 import MP4Reader
+                rdr = MP4Reader(fh)
+            return rdr, rdr.width, rdr.height
         rdr = y4m.Y4MReader(open_stream(args.source))
         return rdr, rdr.width, rdr.height
     if args.source.endswith(".yuv"):
@@ -229,26 +272,15 @@ def make_source(args):
         else:
             rdr = ingest.open_y4m(args.source)
         return rdr, rdr.width, rdr.height
-    container = None
-    if args.source.endswith((".mkv", ".webm")):
-        from mpv_frame_interpolator_tpu.io.mkv import MKVError, MKVReader
-        container = (MKVReader, MKVError, "MKV")
-    elif args.source.endswith((".mp4", ".mov", ".m4v")):
-        from mpv_frame_interpolator_tpu.io.mp4 import MP4Error, MP4Reader
-        container = (MP4Reader, MP4Error, "MP4")
+    container = _container_kind(args.source)
     if container is not None:
-        from mpv_frame_interpolator_tpu.io.decode import have_ffmpeg
         reader_cls, err_cls, name = container
         try:
-            if args.ingest == "python":
-                rdr = reader_cls(args.source)
-            else:
-                # C++ indexed pread ring over the container's frame index
-                from mpv_frame_interpolator_tpu.io import ingest
-                rdr = ingest.open_container(args.source)
+            rdr = _open_container_path(args, args.source, reader_cls)
             return rdr, rdr.width, rdr.height
         except err_cls as e:
             # compressed codec (or exotic layout): needs a real decoder
+            from mpv_frame_interpolator_tpu.io.decode import have_ffmpeg
             if not have_ffmpeg():
                 raise SystemExit(f"cannot open {args.source!r}: {e}")
             log.info("native %s demux declined (%s); using ffmpeg",
@@ -256,6 +288,65 @@ def make_source(args):
     from mpv_frame_interpolator_tpu.io.decode import ffmpeg_source
     src = ffmpeg_source(args.source, P010 if args.p010 else NV12)
     return src, args.width, args.height
+
+
+def _container_kind(name: str):
+    if name.endswith((".mkv", ".webm")):
+        from mpv_frame_interpolator_tpu.io.mkv import MKVError, MKVReader
+        return (MKVReader, MKVError, "MKV")
+    if name.endswith((".mp4", ".mov", ".m4v")):
+        from mpv_frame_interpolator_tpu.io.mp4 import MP4Error, MP4Reader
+        return (MP4Reader, MP4Error, "MP4")
+    return None
+
+
+def _open_container_path(args, path: str, reader_cls):
+    if args.ingest == "python":
+        return reader_cls(path)
+    # C++ indexed pread ring over the container's frame index
+    from mpv_frame_interpolator_tpu.io import ingest
+    return ingest.open_container(path)
+
+
+def _spool_stdin_container(raw, magic: bytes, suffix: str) -> str:
+    """Piped container: spool the byte stream to a temp file so the
+    indexed (pread) ingest can serve it -- the demux cache's
+    make-pipes-seekable move (/root/reference/demux/cache.c), done at the
+    byte layer because a container index needs random access."""
+    import atexit
+    import shutil
+    import tempfile
+    tf = tempfile.NamedTemporaryFile(suffix=suffix, delete=False)
+    tf.write(magic)
+    shutil.copyfileobj(raw, tf)
+    tf.close()
+    atexit.register(lambda: os.path.exists(tf.name) and os.unlink(tf.name))
+    log.info("spooled piped container to %s", tf.name)
+    return tf.name
+
+
+def _replay_fd(first: bytes, src) -> int:
+    """Read end of a pipe that replays `first` then pumps `src` (used to
+    hand sniffed stdin bytes back to fd-level consumers)."""
+    import threading
+    r, w = os.pipe()
+
+    def pump():
+        try:
+            data = first
+            while data:
+                os.write(w, data)
+                data = src.read(1 << 16) or b""
+        except (BrokenPipeError, OSError):
+            pass
+        finally:
+            try:
+                os.close(w)
+            except OSError:
+                pass
+
+    threading.Thread(target=pump, daemon=True).start()
+    return r
 
 
 def main(argv=None) -> int:

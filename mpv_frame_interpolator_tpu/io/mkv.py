@@ -122,8 +122,9 @@ class MKVReader:
     Raises MKVError with the codec name for compressed tracks (those need
     an external decoder, io/decode.py)."""
 
-    def __init__(self, path: str, start_pts: float = 0.0):
-        self._fh = open(path, "rb")
+    def __init__(self, path, start_pts: float = 0.0):
+        # path or any seekable binary file-like (e.g. stream.HttpFile)
+        self._fh = open(path, "rb") if isinstance(path, str) else path
         self._start_pts = start_pts
         self.timestamp_scale = 1000000          # ns per tick (default 1ms)
         self.track: Optional[_Track] = None

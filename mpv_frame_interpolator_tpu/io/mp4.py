@@ -82,8 +82,9 @@ def _read_boxes(fh: BinaryIO, start: int, end: int):
 class MP4Reader:
     """ISO-BMFF demuxer for uncompressed video -> VideoFrame."""
 
-    def __init__(self, path: str, start_pts: float = 0.0):
-        self._fh = open(path, "rb")
+    def __init__(self, path, start_pts: float = 0.0):
+        # path or any seekable binary file-like (e.g. stream.HttpFile)
+        self._fh = open(path, "rb") if isinstance(path, str) else path
         self._start_pts = start_pts
         self.track: Optional[_Track] = None
         self._index: List[Tuple[int, int, float]] = []  # (off, size, pts)

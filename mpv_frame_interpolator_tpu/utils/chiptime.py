@@ -40,7 +40,14 @@ def chip_pair_seconds(width=3840, height=2160, n_outputs=5, radius=16,
                           args[0][0, 0]))
             y, uv, blurred, cut = step(f1y, args[1], args[2], args[3],
                                        ts, *knobs)
-            return uv[0, 0, 0].astype(jnp.uint16), blurred[0, 0, 0]
+            # the carry must depend on EVERY output element: a scalar
+            # slice would let XLA dead-code-eliminate work that doesn't
+            # reach it, understating the chip (the sums are one cheap
+            # reduction each)
+            dep = (jnp.sum(uv, dtype=jnp.uint32)
+                   + jnp.sum(y, dtype=jnp.uint32)
+                   + jnp.sum(blurred.astype(jnp.uint32), dtype=jnp.uint32))
+            return dep.astype(jnp.uint16), blurred[0, 0, 0]
         return jax.jit(lambda: jax.lax.scan(
             body, jnp.uint16(0), None, length=k)[1])
 

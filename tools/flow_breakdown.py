@@ -4,8 +4,13 @@
 Each piece of the scan body (_pyramid_step_traced) is timed standalone
 with the scan-chained method (tools/chip_time.py): a program executes the
 piece K times with a data dependency, and (t(K2)-t(K1))/(K2-K1) cancels
-every fixed cost.  Realistic inputs: a (lh, lw) committed field with a
-controllable number of distinct values, real phase stacks.
+every fixed cost.
+
+Harness-honesty rules (learned the hard way):
+* every iteration PERTURBS the piece's real inputs (a hoistable or
+  constant-foldable body measures nothing), and
+* the carry depends on a FULL reduction of the piece's output (a scalar
+  slice lets XLA dead-code-eliminate the rest of the work).
 
     PYTHONPATH=.:$PYTHONPATH python tools/flow_breakdown.py [WxH]
 """
@@ -19,10 +24,11 @@ import numpy as np
 def chained_time(make_body, k1=6, k2=30, repeats=2):
     """Seconds per body execution, scan-chained."""
     import jax
+    import jax.numpy as jnp
 
     def build(k):
         body = make_body()
-        return jax.jit(lambda: jax.lax.scan(body, jax.numpy.int32(0),
+        return jax.jit(lambda: jax.lax.scan(body, jnp.int32(0),
                                             None, length=k)[1])
 
     fns = {k: build(k) for k in (k1, k2)}
@@ -78,14 +84,26 @@ def main():
 
     print(f"{w}x{h} low {lh}x{lw} layers {layers}")
 
+    # ---- phase stacks (once per pair) ----
+    def mk_stacks():
+        def body(c, _):
+            s = F._phase_stacks(geom, a1[0] + c.astype(jnp.uint8),
+                                a1[1], a1[2])
+            dep = sum(jnp.sum(p, dtype=jnp.uint32) for p in s)
+            return dep.astype(jnp.int32), dep
+        return body
+    print(f"  phase stacks (per pair): "
+          f"{chained_time(mk_stacks)*1e3:7.3f} ms")
+
     # ---- distinct extraction (per step) ----
     offy, offx = field(6), field(6)
 
     def mk_extract():
         def body(c, _):
-            ob = offy + c
+            ob = offy + (c & 3)          # real per-iteration input change
             key_b, vals, D, ex = F._distinct_base_offsets(ob, offx, F._FLOW_K)
-            return vals[0], vals[0]
+            dep = jnp.sum(vals) + jnp.sum(key_b, dtype=jnp.int32) + D
+            return dep, dep
         return body
     print(f"  distinct extract      : "
           f"{chained_time(mk_extract)*1e3:7.3f} ms/step")
@@ -93,19 +111,20 @@ def main():
     # ---- delta sampling for several D ----
     for D in (1, 4, 8, 12):
         oy, ox = field(D), field(D)
-        key_b, vals, Dt, ex = jax.jit(
-            lambda a, b: F._distinct_base_offsets(a, b, F._FLOW_K))(oy, ox)
-        jax.block_until_ready((key_b, vals, Dt))
 
         def mk_sample():
             def body(c, _):
+                ob = oy + (c & 1)        # shifts every distinct value
+                key_b, vals, Dt, ex = F._distinct_base_offsets(
+                    ob, ox, F._FLOW_K)
                 delta = F._delta_layers_shift(
-                    geom, stacks, key_b, vals + (c - c), Dt, adj_flat,
+                    geom, stacks, key_b, vals, Dt, adj_flat,
                     jnp.int32(0), layers, probe)
-                return delta[0, 0, 0], delta[0, 0, 0]
+                dep = jnp.sum(delta, dtype=jnp.int32)
+                return dep, dep
             return body
-        print(f"  delta sample   D={D:2d}  : "
-              f"{chained_time(mk_sample)*1e3:7.3f} ms/step")
+        t = chained_time(mk_sample) * 1e3
+        print(f"  extract+sample D={D:2d}  : {t:7.3f} ms/step")
 
     # ---- commit branch (nb + block sum + argmin + commit) ----
     partial0 = jnp.asarray(
@@ -118,12 +137,27 @@ def main():
 
         def mk_commit():
             def body(c, _):
-                adj2 = br(partial0 + c.astype(jnp.uint32), prev, probe_l,
-                          jnp.int32(6), jnp.int32(16))
-                return adj2[0, 0], adj2[0, 0]
+                adj2 = br(partial0 + c.astype(jnp.uint32), prev + c,
+                          probe_l, jnp.int32(6), jnp.int32(16))
+                dep = jnp.sum(adj2, dtype=jnp.int32)
+                return dep, dep
             return body
         print(f"  commit w={wdw:3d} nb={int(nb)}   : "
               f"{chained_time(mk_commit)*1e3:7.3f} ms/step")
+
+    # ---- elementwise partial0 (delta scale + offset bias) ----
+    delta_i = jnp.asarray(
+        rng.integers(0, 765, (layers, lh, lw)).astype(np.int32))
+
+    def mk_elem():
+        def body(c, _):
+            d = (delta_i + c).astype(jnp.uint32) << jnp.uint32(8)
+            p = d + jnp.abs(probe_l).astype(jnp.uint32)
+            dep = jnp.sum(p, dtype=jnp.uint32).astype(jnp.int32)
+            return dep, dep
+        return body
+    print(f"  elementwise partial   : "
+          f"{chained_time(mk_elem)*1e3:7.3f} ms/step")
 
     # ---- gather fallback delta, for contrast ----
     def mk_gather():
@@ -133,13 +167,14 @@ def main():
         oy, ox = field(6), field(6)
 
         def body(c, _):
-            cand_x = ox[None] + adj_flat[:, None, None] + c
+            cand_x = ox[None] + adj_flat[:, None, None] + (c & 3)
             cand_y = jnp.broadcast_to(oy[None], (layers, lh, lw))
             ncx = F.mirror_inside(scx[None] + cand_x, geom.stride)
             ncy = F.mirror_inside(scy[None] + cand_y, geom.height)
             y1 = F._gather(a1[0], ncy, ncx).astype(jnp.int32)
             d = jnp.abs(y1 - probe[0][None])
-            return d[0, 0, 0], d[0, 0, 0]
+            dep = jnp.sum(d, dtype=jnp.int32)
+            return dep, dep
         return body
     print(f"  gather delta (y only) : "
           f"{chained_time(mk_gather, k1=2, k2=6)*1e3:7.3f} ms/step")
