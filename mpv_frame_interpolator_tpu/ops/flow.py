@@ -184,10 +184,13 @@ def _shift_clamped(p, s: int, axis: int):
 
 
 def _phase_stacks(geom: FlowGeometry, f1y, f1u, f1v):
-    """(phY, phU, phV) stacks of shape (s*s, lh+2*Bl, lw+2*Bl) such that
-    stack[(oy & m)*s + (ox & m), Bl + cy + (oy>>rs), Bl + cx + (ox>>rs)]
-    == plane[mirror_inside(scaled_cy+oy, H), mirror_inside(scaled_cx+ox, W)]
-    (with the chroma planes' `>>1` addressing already folded in).
+    """ONE stack of shape (s*s, 3, lh+2*Bl, lw+2*Bl) such that
+    stack[(oy & m)*s + (ox & m), q, Bl + cy + (oy>>rs), Bl + cx + (ox>>rs)]
+    == plane_q[mirror_inside(scaled_cy+oy, H), mirror_inside(scaled_cx+ox, W)]
+    for plane_q in (y, u, v), with the chroma planes' `>>1` addressing
+    already folded in.  The three planes INTERLEAVE one stack so the
+    sampler fetches a candidate's y+u+v with a single dynamic slice
+    (per-op overhead, not bandwidth, bounds the sampling stage).
     Returns None when the geometry is not phase-decomposable."""
     rs, lh, lw = geom.res_scalar, geom.low_h, geom.low_w
     H, W = geom.height, geom.stride
@@ -207,8 +210,9 @@ def _phase_stacks(geom: FlowGeometry, f1y, f1u, f1v):
         return ph.transpose(1, 3, 0, 2).reshape(s * s, lh + 2 * Bl,
                                                 lw + 2 * Bl)
 
-    return (lift_pad_phase(f1y, False), lift_pad_phase(f1u, True),
-            lift_pad_phase(f1v, True))
+    return jnp.stack([lift_pad_phase(f1y, False),
+                      lift_pad_phase(f1u, True),
+                      lift_pad_phase(f1v, True)], axis=1)
 
 
 def _distinct_min_extract(key_flat, K: int):
@@ -267,7 +271,6 @@ def _delta_layers_shift(geom: FlowGeometry, stacks, key_b, vals, D,
     m = s - 1
     Bl = _FLOW_BLOW
     R = 1 << 11
-    phY, phU, phV = stacks
     y2, u2, v2 = f2_probe
 
     def body(delta, j):
@@ -280,26 +283,23 @@ def _delta_layers_shift(geom: FlowGeometry, stacks, key_b, vals, D,
             # committed field is 2x2-block-constant, see
             # _distinct_base_offsets)
             mask = jnp.repeat(jnp.repeat(key_b == v, 2, 0), 2, 1)[:lh, :lw]
-            ds = []
+            sl = []
             for l in range(layers):
                 oy = vy + adj_flat[l] * is_y
                 ox = vx + adj_flat[l] * (1 - is_y)
                 p = (oy & m) * s + (ox & m)
                 sy = Bl + (oy >> rs)
                 sx = Bl + (ox >> rs)
-                y1 = jax.lax.dynamic_slice(
-                    phY, (p, sy, sx), (1, lh, lw))[0].astype(jnp.int32)
-                # chroma planes live in the full-res index domain with
-                # the >>1 fold built into the lifted stacks; the sample
-                # index is floor(o/2) done by the same (phase, shift)
-                # decomposition because the lifted plane IS plane[q>>1]
-                u1 = jax.lax.dynamic_slice(
-                    phU, (p, sy, sx), (1, lh, lw))[0].astype(jnp.int32)
-                v1 = jax.lax.dynamic_slice(
-                    phV, (p, sy, sx), (1, lh, lw))[0].astype(jnp.int32)
-                ds.append(jnp.abs(y1 - y2) + jnp.abs(u1 - u2)
-                          + jnp.abs(v1 - v2))
-            return jnp.where(mask[None], jnp.stack(ds), delta)
+                # one slice fetches y+u+v together (the chroma planes
+                # live in the full-res index domain with the >>1 fold
+                # built into the lifted stacks: the lifted plane IS
+                # plane[q>>1], so the same (phase, shift) serves all 3)
+                sl.append(jax.lax.dynamic_slice(
+                    stacks, (p, 0, sy, sx), (1, 3, lh, lw))[0])
+            smp = jnp.stack(sl).astype(jnp.int32)   # (layers, 3, lh, lw)
+            d = (jnp.abs(smp[:, 0] - y2) + jnp.abs(smp[:, 1] - u2)
+                 + jnp.abs(smp[:, 2] - v2))
+            return jnp.where(mask[None], d, delta)
 
         return jax.lax.cond(j < D, take, lambda d: d, delta), None
 
@@ -555,7 +555,9 @@ def _pyramid_step_traced(geom: FlowGeometry, layers: int,
         key_b, vals, D, exceeded = _distinct_base_offsets(off_y, off_x,
                                                           _FLOW_K)
         max_adj = (layers // 2) ** 2
-        mag = jnp.maximum(jnp.max(jnp.abs(off_x)), jnp.max(jnp.abs(off_y)))
+        # stride-2 subsample: same max by 2x2 block constancy, 1/4 the read
+        mag = jnp.maximum(jnp.max(jnp.abs(off_x[::2, ::2])),
+                          jnp.max(jnp.abs(off_y[::2, ::2])))
         # third conjunct: the pack keys clip at +-2**11; past that a
         # shift could be mis-keyed without tripping the padding bound
         # (possible at res_scalar >= 5, i.e. beyond-8K geometries)
