@@ -343,6 +343,25 @@ def main():
                         and extras["chip_bound_fps"] > fps:
                     fps = extras["chip_bound_fps"]
                     extras["sync"] = "chip-scan-chain"
+                if radius > 5 and not int(os.environ.get(
+                        "MFI_BENCH_SKIP_DEGRADE", "0")):
+                    # quality degradation must cut REAL chip work: the
+                    # radius-5 layer bucket vs the full-radius program
+                    # (reference scales its launch grid with the live
+                    # radius, opticalFlowCalc.c:130)
+                    box5 = []
+                    th5 = threading.Thread(
+                        target=lambda: box5.append(chip_pair_seconds(
+                            width, height, per_pair_out, 5, model,
+                            k1=4, k2=12, p010=p010, repeats=1)),
+                        daemon=True)
+                    th5.start()
+                    th5.join(300.0)
+                    if box5:
+                        extras["chip_ms_per_pair_radius5"] = round(
+                            box5[0] * 1e3, 3)
+                        extras["degradation_speedup"] = round(
+                            sec / box5[0], 2)
             else:
                 extras["chip_bound_error"] = "timeout"
         except Exception as e:  # noqa: BLE001 - never break the bench line

@@ -237,15 +237,16 @@ def _distinct_min_extract(key_flat, K: int):
     return vals, D, exceeded
 
 
-def _distinct_base_offsets(off_y, off_x, K: int):
+def _distinct_base_offsets(off_y, off_x, K: int, stride: int = 2):
     """Padded table of the distinct (oy, ox) pairs of the committed
-    field, computed from a STRIDE-2 SUBSAMPLE: every commit repeats its
-    adjustment at window >= 2 granularity (adjustOffsetArrayKernel.cl
+    field, computed from a STRIDE SUBSAMPLE: every commit repeats its
+    adjustment at its window's granularity (adjustOffsetArrayKernel.cl
     operates per window block; oracle._window_sums_u32) and the initial
-    field is zero, so the committed field is always block-constant on
-    2x2 tiles -- the subsample sees every distinct value at 1/4 the
-    detection cost, and the per-pixel select masks rebuild exactly by 2x
-    repeat.
+    field is zero, so the committed field entering a step is always
+    block-constant at >= the CURRENT window size -- a stride-`window`
+    subsample sees every distinct value at 1/window^2 the detection
+    cost, and the select masks rebuild exactly by `stride`x repeat.
+    stride=2 is the universally safe default (every window is >= 2).
 
     Values are clipped into the +-2**11 pack range; the caller's `ok`
     gate must reject fields whose magnitude reaches the clip (see
@@ -253,59 +254,76 @@ def _distinct_base_offsets(off_y, off_x, K: int):
     shift.  Returns (key_b at the subsampled grid, vals[K], D,
     exceeded)."""
     R = 1 << 11
-    oy = jnp.clip(off_y[::2, ::2], -R, R - 1)
-    ox = jnp.clip(off_x[::2, ::2], -R, R - 1)
+    oy = jnp.clip(off_y[::stride, ::stride], -R, R - 1)
+    ox = jnp.clip(off_x[::stride, ::stride], -R, R - 1)
     key_b = ((oy + R) * (2 * R) + (ox + R)).astype(jnp.int32)
     vals, D, exceeded = _distinct_min_extract(key_b.ravel(), K)
     return key_b, vals, D, exceeded
 
 
 def _delta_layers_shift(geom: FlowGeometry, stacks, key_b, vals, D,
-                        adj_flat, is_y, layers: int, f2_probe):
+                        adj_y, adj_x, layers: int, f2_probe,
+                        luma_shift: int = 0, rep: int = 2):
     """(layers, lh, lw) int32 SAD deltas |y1-y2|+|u1-u2|+|v1-v2| of the
-    candidate samples, via phase slices + ONE masked select per distinct
-    base offset (selecting the summed delta instead of the three sample
-    stacks cuts the select traffic 3x vs round 2's sampler)."""
+    candidate samples at per-layer probe offsets (adj_y[l], adj_x[l]),
+    via phase slices + ONE masked select per distinct base offset
+    (selecting the summed delta instead of the three sample stacks cuts
+    the select traffic 3x vs round 2's sampler).  Serves both the
+    pyramid step (one axis swept by the signed-square schedule) and the
+    sub-pel refiner's 3x3 probe neighborhood."""
     rs, lh, lw = geom.res_scalar, geom.low_h, geom.low_w
     s = 1 << rs
     m = s - 1
     Bl = _FLOW_BLOW
     R = 1 << 11
     y2, u2, v2 = f2_probe
+    # 8-bit sources: the per-candidate SAD fits int16 (<= 3*255), halving
+    # the select/accumulate traffic of the j-loop; 10-bit needs int32
+    acc_t = jnp.int32 if luma_shift else jnp.int16
+    y2s, u2s, v2s = (p.astype(acc_t) for p in (y2, u2, v2))
 
-    def body(delta, j):
+    def cond(carry):
+        return carry[1] < D
+
+    def body(carry):
+        delta, j = carry
         v = vals[j]
+        vy = v // (2 * R) - R
+        vx = v % (2 * R) - R
+        # block-level mask -> per-pixel by repeat (exact: the committed
+        # field is block-constant at >= rep, see _distinct_base_offsets)
+        mask = jnp.repeat(jnp.repeat(key_b == v, rep, 0),
+                          rep, 1)[:lh, :lw]
+        sl = []
+        for l in range(layers):
+            oy = vy + adj_y[l]
+            ox = vx + adj_x[l]
+            p = (oy & m) * s + (ox & m)
+            sy = Bl + (oy >> rs)
+            sx = Bl + (ox >> rs)
+            # one slice fetches y+u+v together (the chroma planes live
+            # in the full-res index domain with the >>1 fold built into
+            # the lifted stacks: the lifted plane IS plane[q>>1], so the
+            # same (phase, shift) serves all 3)
+            sl.append(jax.lax.dynamic_slice(
+                stacks, (p, 0, sy, sx), (1, 3, lh, lw))[0])
+        smp = jnp.stack(sl).astype(acc_t)       # (layers, 3, lh, lw)
+        d = (jnp.abs(smp[:, 0] - y2s) + jnp.abs(smp[:, 1] - u2s)
+             + jnp.abs(smp[:, 2] - v2s))
+        return jnp.where(mask[None], d, delta), j + 1
 
-        def take(delta):
-            vy = v // (2 * R) - R
-            vx = v % (2 * R) - R
-            # block-level mask -> per-pixel by 2x repeat (exact: the
-            # committed field is 2x2-block-constant, see
-            # _distinct_base_offsets)
-            mask = jnp.repeat(jnp.repeat(key_b == v, 2, 0), 2, 1)[:lh, :lw]
-            sl = []
-            for l in range(layers):
-                oy = vy + adj_flat[l] * is_y
-                ox = vx + adj_flat[l] * (1 - is_y)
-                p = (oy & m) * s + (ox & m)
-                sy = Bl + (oy >> rs)
-                sx = Bl + (ox >> rs)
-                # one slice fetches y+u+v together (the chroma planes
-                # live in the full-res index domain with the >>1 fold
-                # built into the lifted stacks: the lifted plane IS
-                # plane[q>>1], so the same (phase, shift) serves all 3)
-                sl.append(jax.lax.dynamic_slice(
-                    stacks, (p, 0, sy, sx), (1, 3, lh, lw))[0])
-            smp = jnp.stack(sl).astype(jnp.int32)   # (layers, 3, lh, lw)
-            d = (jnp.abs(smp[:, 0] - y2) + jnp.abs(smp[:, 1] - u2)
-                 + jnp.abs(smp[:, 2] - v2))
-            return jnp.where(mask[None], d, delta)
-
-        return jax.lax.cond(j < D, take, lambda d: d, delta), None
-
-    z = jnp.zeros((layers, lh, lw), jnp.int32)
-    delta, _ = jax.lax.scan(body, z, jnp.arange(vals.shape[0]))
-    return delta
+    # while_loop, not a K-length scan: only the D REAL distinct offsets
+    # run; padded budget entries cost nothing.  (MFI_FLOW_JLOOP=scan
+    # keeps the round-2 fixed-length form for A/B measurement.)
+    z = jnp.zeros((layers, lh, lw), acc_t)
+    if _os.environ.get("MFI_FLOW_JLOOP", "while") == "scan":
+        def sbody(delta, j):
+            return jax.lax.cond(j < D, lambda d: body((d, j))[0],
+                                lambda d: d, delta), None
+        delta, _ = jax.lax.scan(sbody, z, jnp.arange(vals.shape[0]))
+    else:
+        delta, _ = jax.lax.while_loop(cond, body, (z, jnp.int32(0)))
+    return delta.astype(jnp.int32)
 
 
 def _subsampled_f2(geom: FlowGeometry, f2y, f2u, f2v):
@@ -454,35 +472,104 @@ def blur_flow(offset, lh: int, lw: int):
     return jax.lax.div(acc, jnp.int32(ksz))   # trunc toward zero, like C
 
 
-def _make_commit_branch(window: int, nb_enabled: bool, layers: int,
-                        lh: int, lw: int):
-    """One lax.switch branch of the scanned pyramid: neighbor bias +
-    window block sums + first-min argmin + signed-square commit, all with
-    the window size STATIC.  Round 2 traced the window, which forced the
-    block sums through an integral image read back by per-pixel gathers
-    (4 x layers x lh x lw of them) -- on a chip whose gather runs at
-    ~10ns/element that was ~70%% of the whole flow budget.  Static
-    windows restore the plain zero-pad + reshape block sum of the
-    unrolled form (exact mod 2**32 under any association, so the
-    reference's atomic-add wraparound semantics survive,
-    calcDeltaSumsKernel.cl:187) and make the neighbor fetch a static
-    clamped shift (slice + edge-repeat).
+def _make_step_branch(geom: FlowGeometry, window: int, nb_enabled: bool,
+                      layers: int, luma_shift: int,
+                      f1y, f1u, f1v, f2_probe, stacks):
+    """One WHOLE pyramid step as a lax.switch branch with the window
+    size STATIC (branch index == iteration; there are only `iterations`
+    distinct windows).  Static windows buy, vs round 2's traced-window
+    body:
 
-    Branch signature: (partial0, prev_plane, probe, nbs, radius_t) ->
-    adj2 (lh, lw) int32, the signed-square commit of this step's argmin
-    (determineLowestLayerKernel.cl + adjustOffsetArrayKernel.cl:14)."""
+    * distinct-offset detection on a stride-`window` subsample -- the
+      committed field entering a step is block-constant at >= the
+      current window, so early steps detect over a handful of values
+      instead of the full low-res field (the detection's sequential
+      min-reductions were a fixed ~0.5 ms/step at stride 2);
+    * plain zero-pad + reshape window block sums (exact mod 2**32 under
+      any association, so the reference's atomic-add wraparound
+      semantics survive, calcDeltaSumsKernel.cl:187) instead of an
+      integral image read back through per-pixel gathers;
+    * the neighbor fetch as a static clamped shift (slice+edge-repeat).
+
+    Branch signature: (off_x, off_y, is_y, radius_t, ds, nbs) ->
+    (off_x', off_y').  Bit-exact with the unrolled
+    _delta_sums_one_step/_commit_winner pair."""
+    rs, lh, lw = geom.res_scalar, geom.low_h, geom.low_w
+    H, W = geom.height, geom.stride
     w2 = 2 * window
+    y2, u2, v2 = f2_probe
 
-    def branch(partial0, prev_plane, probe, nbs, radius_t):
-        partial = partial0
+    cyg, cxg = jnp.mgrid[0:lh, 0:lw]
+    scaled_cx = (cxg << rs).astype(jnp.int32)
+    scaled_cy = (cyg << rs).astype(jnp.int32)
+
+    def branch(off_x, off_y, is_y, radius_t, delta_scalar,
+               neighbor_bias_scalar):
+        z = jnp.arange(layers, dtype=jnp.int32)
+        rel = jnp.mod(z, radius_t) - radius_t // 2  # (cz % R) - R/2, cl:68
+        adj = jnp.where(rel > 0, rel * rel, -(rel * rel)).astype(jnp.int32)
+        adj = adj[:, None, None]
+
+        cand_x = off_x[None] + adj * (1 - is_y)
+        cand_y = off_y[None] + adj * is_y
+        probe = jnp.where(is_y == 1, cand_y, cand_x)
+        prev_plane = jnp.where(is_y == 1, off_y, off_x)
+
+        def gather_delta(_):
+            new_cx = mirror_inside(scaled_cx[None] + cand_x, W)
+            new_cy = mirror_inside(scaled_cy[None] + cand_y, H)
+            y1 = _gather(f1y, new_cy, new_cx).astype(jnp.int32)
+            u1 = _gather(f1u, new_cy >> 1, new_cx >> 1).astype(jnp.int32)
+            v1 = _gather(f1v, new_cy >> 1, new_cx >> 1).astype(jnp.int32)
+            return (jnp.abs(y1 - y2[None]) + jnp.abs(u1 - u2[None])
+                    + jnp.abs(v1 - v2[None]))
+
+        if stacks is None:
+            delta = gather_delta(None)
+        else:
+            # phase-decomposed candidate sampling over the distinct
+            # committed offsets (_delta_layers_shift); gather fallback
+            # at runtime for wild fields
+            key_b, vals, D, exceeded = _distinct_base_offsets(
+                off_y, off_x, _FLOW_K, stride=window)
+            max_adj = (layers // 2) ** 2
+            # subsampled max == field max by block constancy
+            mag = jnp.maximum(jnp.max(jnp.abs(off_x[::window, ::window])),
+                              jnp.max(jnp.abs(off_y[::window, ::window])))
+            # third conjunct: the pack keys clip at +-2**11; past that a
+            # shift could be mis-keyed without tripping the padding bound
+            # (possible at res_scalar >= 5, i.e. beyond-8K geometries)
+            ok = (~exceeded) & (mag + max_adj <= (_FLOW_BLOW << rs) - 1) \
+                & (mag < (1 << 11))
+            adj_flat = adj[:, 0, 0]
+
+            def shift_delta(_):
+                return _delta_layers_shift(geom, stacks, key_b, vals, D,
+                                           adj_flat * is_y,
+                                           adj_flat * (1 - is_y), layers,
+                                           (y2, u2, v2), luma_shift,
+                                           rep=window)
+
+            delta = jax.lax.cond(ok, shift_delta, gather_delta, None)
+
+        delta = delta.astype(jnp.uint32)
+        if luma_shift:
+            # P010: compare top 8 bits so bias weights keep their meaning
+            delta = delta >> np.uint32(luma_shift)
+        delta = delta << delta_scalar.astype(jnp.uint32)
+
+        partial = delta + jnp.abs(probe).astype(jnp.uint32)  # offset bias
         if nb_enabled:
             # neighbor bias at +-2*window, clamped (cl:137-151)
             nb = jnp.zeros((layers, lh, lw), jnp.uint32)
             for axis in (1, 0):
                 for sign in (1, -1):
                     n_off = _shift_clamped(prev_plane, sign * w2, axis)
-                    nb = nb + jnp.abs(n_off[None] - probe).astype(jnp.uint32)
-            partial = partial + (nb << nbs.astype(jnp.uint32))
+                    nb = nb + jnp.abs(n_off[None] - probe).astype(
+                        jnp.uint32)
+            partial = partial + (nb << neighbor_bias_scalar.astype(
+                jnp.uint32))
+
         nwy, nwx = -(-lh // window), -(-lw // window)
         if window > 1:
             padded = jnp.zeros((layers, nwy * window, nwx * window),
@@ -492,7 +579,6 @@ def _make_commit_branch(window: int, nb_enabled: bool, layers: int,
                 axis=(2, 4), dtype=jnp.uint32)
         else:
             sums = partial
-        z = jnp.arange(layers, dtype=jnp.int32)
         invalid = (z >= radius_t)[:, None, None]
         sums = jnp.where(invalid, jnp.uint32(0xFFFFFFFF), sums)
         lowest = jnp.argmin(sums, axis=0).astype(jnp.int32)  # first min
@@ -501,90 +587,11 @@ def _make_commit_branch(window: int, nb_enabled: bool, layers: int,
         if window > 1:
             adj2 = jnp.repeat(jnp.repeat(adj2, window, 0),
                               window, 1)[:lh, :lw]
-        return adj2
+        off_x = off_x + adj2 * (1 - is_y)
+        off_y = off_y + adj2 * is_y
+        return off_x, off_y
 
     return branch
-
-
-def _pyramid_step_traced(geom: FlowGeometry, layers: int,
-                         radius_t, branch_t, is_y_t, branches,
-                         off_x, off_y, f1y, f1u, f1v, f2_probe,
-                         delta_scalar, neighbor_bias_scalar,
-                         luma_shift: int, stacks=None):
-    """ONE pyramid (iteration, step) -- the lax.scan body of the scanned
-    flow program (see _flow_impl_scan).  The step parity is traced (a
-    cheap select); the window size and neighbor flag are STATIC inside
-    the lax.switch branch selected by `branch_t` (= the iteration index;
-    there are only `iterations` distinct windows).  Bit-exact with the
-    unrolled _delta_sums_one_step/_commit_winner pair."""
-    rs, lh, lw = geom.res_scalar, geom.low_h, geom.low_w
-    H, W = geom.height, geom.stride
-    y2, u2, v2 = f2_probe
-
-    cyg, cxg = jnp.mgrid[0:lh, 0:lw]
-    scaled_cx = (cxg << rs).astype(jnp.int32)
-    scaled_cy = (cyg << rs).astype(jnp.int32)
-
-    z = jnp.arange(layers, dtype=jnp.int32)
-    radius_t = jnp.asarray(radius_t, jnp.int32)
-    rel = jnp.mod(z, radius_t) - radius_t // 2   # (cz % R) - R/2, cl:68
-    adj = jnp.where(rel > 0, rel * rel, -(rel * rel)).astype(jnp.int32)
-    adj = adj[:, None, None]
-
-    is_y = jnp.asarray(is_y_t, jnp.int32)
-    cand_x = off_x[None] + adj * (1 - is_y)
-    cand_y = off_y[None] + adj * is_y
-    probe = jnp.where(is_y == 1, cand_y, cand_x)
-    prev_plane = jnp.where(is_y == 1, off_y, off_x)
-
-    def gather_delta(_):
-        new_cx = mirror_inside(scaled_cx[None] + cand_x, W)
-        new_cy = mirror_inside(scaled_cy[None] + cand_y, H)
-        y1 = _gather(f1y, new_cy, new_cx).astype(jnp.int32)
-        u1 = _gather(f1u, new_cy >> 1, new_cx >> 1).astype(jnp.int32)
-        v1 = _gather(f1v, new_cy >> 1, new_cx >> 1).astype(jnp.int32)
-        return (jnp.abs(y1 - y2[None]) + jnp.abs(u1 - u2[None])
-                + jnp.abs(v1 - v2[None]))
-
-    if stacks is None:
-        delta = gather_delta(None)
-    else:
-        # phase-decomposed candidate sampling over the distinct committed
-        # offsets (see _delta_layers_shift); gather fallback at runtime
-        # for wild fields
-        key_b, vals, D, exceeded = _distinct_base_offsets(off_y, off_x,
-                                                          _FLOW_K)
-        max_adj = (layers // 2) ** 2
-        # stride-2 subsample: same max by 2x2 block constancy, 1/4 the read
-        mag = jnp.maximum(jnp.max(jnp.abs(off_x[::2, ::2])),
-                          jnp.max(jnp.abs(off_y[::2, ::2])))
-        # third conjunct: the pack keys clip at +-2**11; past that a
-        # shift could be mis-keyed without tripping the padding bound
-        # (possible at res_scalar >= 5, i.e. beyond-8K geometries)
-        ok = (~exceeded) & (mag + max_adj <= (_FLOW_BLOW << rs) - 1) \
-            & (mag < (1 << 11))
-        adj_flat = adj[:, 0, 0]
-
-        def shift_delta(_):
-            return _delta_layers_shift(geom, stacks, key_b, vals, D,
-                                       adj_flat, is_y, layers,
-                                       (y2, u2, v2))
-
-        delta = jax.lax.cond(ok, shift_delta, gather_delta, None)
-
-    delta = delta.astype(jnp.uint32)
-    if luma_shift:
-        # P010 path: compare top 8 bits so bias weights keep their meaning.
-        delta = delta >> np.uint32(luma_shift)
-    delta = delta << delta_scalar.astype(jnp.uint32)
-
-    partial0 = delta + jnp.abs(probe).astype(jnp.uint32)  # + offset bias
-
-    adj2 = jax.lax.switch(branch_t, branches, partial0, prev_plane, probe,
-                          neighbor_bias_scalar, radius_t)
-    off_x = off_x + adj2 * (1 - is_y)
-    off_y = off_y + adj2 * is_y
-    return off_x, off_y
 
 
 def _flow_impl_scan(geom: FlowGeometry, radius, luma_shift: int,
@@ -606,8 +613,8 @@ def _flow_impl_scan(geom: FlowGeometry, radius, luma_shift: int,
         if sampling == "shift" else None
 
     branches = tuple(
-        _make_commit_branch(w, it >= FIRST_NEIGHBOR_ITERATION, layers,
-                            lh, lw)
+        _make_step_branch(geom, w, it >= FIRST_NEIGHBOR_ITERATION, layers,
+                          luma_shift, f1y, f1u, f1v, f2_probe, stacks)
         for it, w in enumerate(geom.window_schedule()))
     bidx, parities = [], []
     for it in range(len(branches)):
@@ -615,15 +622,16 @@ def _flow_impl_scan(geom: FlowGeometry, radius, luma_shift: int,
             bidx.append(it)
             parities.append(step)
     xs = (jnp.asarray(bidx, jnp.int32), jnp.asarray(parities, jnp.int32))
+    radius_t = jnp.asarray(radius, jnp.int32)
+    ds_t = jnp.asarray(delta_scalar, jnp.int32)
+    nbs_t = jnp.asarray(neighbor_bias_scalar, jnp.int32)
 
     def body(carry, x):
-        off_x, off_y = carry
         b_t, isy_t = x
-        off_x, off_y = _pyramid_step_traced(
-            geom, layers, radius, b_t, isy_t, branches, off_x, off_y,
-            f1y, f1u, f1v, f2_probe, delta_scalar, neighbor_bias_scalar,
-            luma_shift, stacks)
-        return (off_x, off_y), None
+        carry = jax.lax.switch(b_t, branches, carry[0], carry[1],
+                               jnp.asarray(isy_t, jnp.int32), radius_t,
+                               ds_t, nbs_t)
+        return carry, None
 
     init = (jnp.zeros((lh, lw), jnp.int32), jnp.zeros((lh, lw), jnp.int32))
     (off_x, off_y), _ = jax.lax.scan(body, init, xs)
@@ -707,8 +715,11 @@ def subpel_refine(geom: FlowGeometry, blurred, f1y, f1u, f1v, f2_probe,
         det <= 0).
 
     Integer math throughout (truncating division, clamped to +-0.5 pel),
-    platform-stable like the rest of the flow.  9 cost probes = 27
-    gathers per low-res pixel, about one pyramid step's worth.
+    platform-stable like the rest of the flow.  The 9 cost probes ride
+    the same phase-decomposed sampler as the pyramid (probe offsets
+    (-1,0,1)^2 around each distinct committed value; per-pixel-gather
+    fallback at runtime for wild fields -- the round-2 form was 27
+    gathers per low-res pixel, ~100ms of honest chip time at 4K).
 
     Returns (2, lh, lw) int32 in 1/64-pel units."""
     rs, lh, lw = geom.res_scalar, geom.low_h, geom.low_w
@@ -728,22 +739,47 @@ def subpel_refine(geom: FlowGeometry, blurred, f1y, f1u, f1v, f2_probe,
         acc = sum(rows[:, :, r + kx:r + kx + lw] for kx in range(-r, r))
         return acc[0] >> 6
 
-    def cost(dx, dy):
-        ncx = mirror_inside(scaled_cx + ox + dx, W)
-        ncy = mirror_inside(scaled_cy + oy + dy, H)
-        y1 = _gather(f1y, ncy, ncx).astype(jnp.int32)
-        u1 = _gather(f1u, ncy >> 1, ncx >> 1).astype(jnp.int32)
-        v1 = _gather(f1v, ncy >> 1, ncx >> 1).astype(jnp.int32)
-        d = jnp.abs(y1 - y2) + jnp.abs(u1 - u2) + jnp.abs(v1 - v2)
+    # probe order: index p -> (dx, dy) = PROBES[p]
+    PROBES = ((0, 0), (-1, 0), (1, 0), (0, -1), (0, 1),
+              (-1, -1), (1, 1), (-1, 1), (1, -1))
+
+    def gather_probes(_):
+        ds = []
+        for dx, dy in PROBES:
+            ncx = mirror_inside(scaled_cx + ox + dx, W)
+            ncy = mirror_inside(scaled_cy + oy + dy, H)
+            y1 = _gather(f1y, ncy, ncx).astype(jnp.int32)
+            u1 = _gather(f1u, ncy >> 1, ncx >> 1).astype(jnp.int32)
+            v1 = _gather(f1v, ncy >> 1, ncx >> 1).astype(jnp.int32)
+            ds.append(jnp.abs(y1 - y2) + jnp.abs(u1 - u2)
+                      + jnp.abs(v1 - v2))
+        return jnp.stack(ds)
+
+    stacks = _phase_stacks(geom, f1y, f1u, f1v)
+    if stacks is None:
+        deltas = gather_probes(None)
+    else:
+        key_b, vals, D, exceeded = _distinct_base_offsets(oy, ox, _FLOW_K)
+        mag = jnp.maximum(jnp.max(jnp.abs(ox[::2, ::2])),
+                          jnp.max(jnp.abs(oy[::2, ::2])))
+        ok = (~exceeded) & (mag + 1 <= (_FLOW_BLOW << rs) - 1) \
+            & (mag < (1 << 11))
+        adj_y = jnp.asarray([dy for _, dy in PROBES], jnp.int32)
+        adj_x = jnp.asarray([dx for dx, _ in PROBES], jnp.int32)
+
+        def shift_probes(_):
+            return _delta_layers_shift(geom, stacks, key_b, vals, D,
+                                       adj_y, adj_x, len(PROBES),
+                                       (y2, u2, v2), luma_shift)
+
+        deltas = jax.lax.cond(ok, shift_probes, gather_probes, None)
+
+    if luma_shift:
         # 10-bit inputs: drop to the 8-bit scale so the Hessian products
         # below stay well inside int32 (parabola vertex is scale-free)
-        return window_avg((d >> luma_shift) if luma_shift else d)
-
-    d0 = cost(0, 0)
-    dxm, dxp = cost(-1, 0), cost(1, 0)
-    dym, dyp = cost(0, -1), cost(0, 1)
-    dmm, dpp = cost(-1, -1), cost(1, 1)
-    dmp, dpm = cost(-1, 1), cost(1, -1)   # (dx, dy) naming
+        deltas = deltas >> luma_shift
+    costs = [window_avg(deltas[p]) for p in range(len(PROBES))]
+    d0, dxm, dxp, dym, dyp, dmm, dpp, dmp, dpm = costs  # (dx, dy) naming
 
     # finite-difference gradient and Hessian of the SAD surface, scaled to
     # stay integer: gx2 = 2*g_x, hxx = H_xx exactly, hxy4 = 4*H_xy

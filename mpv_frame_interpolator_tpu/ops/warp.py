@@ -214,63 +214,341 @@ def _mirror_padded(plane, B: int, dim_y: int, dim_x: int):
     return _remap_axis(p, _mirror_map(B, dim_x), 1)
 
 
-def _distinct_displacements(dy_low, dx_low, K: int):
-    """Padded table of the distinct (dy,dx) pairs of a low-res field.
-    Returns (key_low, vals[K], D, exceeded): vals[j] for j < D are the
-    distinct packed keys (ascending), the rest 0x7FFFFFFF; `exceeded`
-    flags distinct values beyond the K budget (-> gather fallback).
-    Distinct detection is K sequential masked min-reductions, which beat
-    a full bitonic sort of the field (ops/flow._distinct_min_extract)."""
-    from mpv_frame_interpolator_tpu.ops.flow import _distinct_min_extract
+def _index_field(key_lo, vals, D):
+    """uint8 table-INDEX field: idx[p] = j where key_lo[p] == vals[j]
+    (255 where absent -- impossible under the `ok` gate, whose table
+    covers every field value).  The per-distinct selects then compare
+    one byte per output pixel instead of a packed int32 -- the compare
+    read is the sampler's largest stream at 4K -- and the lookup runs at
+    LOW res before the nearest upsample."""
+    def cond(c):
+        return c[1] < D
+
+    def body(c):
+        idx, j = c
+        return jnp.where(key_lo == vals[j], j.astype(jnp.uint8), idx), j + 1
+
+    idx0 = jnp.full(key_lo.shape, 255, jnp.uint8)
+    idx, _ = jax.lax.while_loop(cond, body, (idx0, jnp.int32(0)))
+    return idx
+
+
+def _shift_sample(padded, idx_full, vals, D, out_h: int, out_w: int,
+                  dtype):
+    """sum_j [idx_full == j] * padded[B+dy_j : ..., B+dx_j : ...].
+
+    One dynamic slice + select per DISTINCT displacement, at memory
+    speed.  A while_loop, not a budget-length scan: only the D real
+    entries execute, the padded tail costs nothing."""
     B = _ROLL_B
     SPAN = 2 * B + 2
-    key = ((dy_low + B) * SPAN + (dx_low + B)).astype(jnp.int32)
-    vals, D, exceeded = _distinct_min_extract(key.ravel(), K)
-    return key, vals, D, exceeded
 
+    def cond(c):
+        return c[1] < D
 
-def _shift_sample(padded, key_full, vals, D, out_h: int, out_w: int,
-                  dtype, col_offset=0, col_stride: int = 1):
-    """sum_j [key_full == vals[j]] * padded[B+dy_j : ..., B+dx_j : ...].
-
-    One dynamic slice + select per DISTINCT displacement (scan with a
-    skip-cond for the padded tail), at memory speed.  `col_offset` is an
-    extra traced column offset (chroma parity); `col_stride` strides the
-    sliced columns (chroma's full-width->half-width addressing)."""
-    B = _ROLL_B
-    SPAN = 2 * B + 2
-
-    def body(acc, j):
+    def body(c):
+        acc, j = c
         v = vals[j]
-
-        def take(acc):
-            dy = v // SPAN - B
-            dx = v % SPAN - B
-            plane = jax.lax.dynamic_slice(
-                padded, (B + dy, B + dx + col_offset),
-                (out_h, out_w * col_stride))
-            if col_stride != 1:
-                plane = plane[:, ::col_stride]
-            return jnp.where(key_full == v, plane, acc)
-
-        return jax.lax.cond(j < D, take, lambda a: a, acc), None
+        dy = v // SPAN - B
+        dx = v % SPAN - B
+        plane = jax.lax.dynamic_slice(padded, (B + dy, B + dx),
+                                      (out_h, out_w))
+        return jnp.where(idx_full == j.astype(jnp.uint8), plane, acc), j + 1
 
     acc0 = jnp.zeros((out_h, out_w), dtype)
-    acc, _ = jax.lax.scan(body, acc0, jnp.arange(vals.shape[0]))
+    acc, _ = jax.lax.while_loop(cond, body, (acc0, jnp.int32(0)))
     return acc
+
+
+def _shift_sample_uv(padded2, idx_c, vals, D, hc: int, wc: int, dtype):
+    """u and v planes of one direction in ONE loop: u/v share their
+    displacement field (warpFrameKernel.cl:171-176 computes a single
+    chroma coordinate; _upsample_uv doubles columns so one parity slice
+    keys both), so each distinct value needs one (2, hc, 2*wc) slice of
+    the stacked padded chroma; u takes the even output columns, v the
+    odd (the kernel's (newCx & ~1) + (cx & 1) NV12 addressing)."""
+    B = _ROLL_B
+    SPAN = 2 * B + 2
+
+    def cond(c):
+        return c[2] < D
+
+    def body(c):
+        au, av, j = c
+        v = vals[j]
+        dy = v // SPAN - B
+        dx = v % SPAN - B
+        sl = jax.lax.dynamic_slice(padded2, (0, B + dy, B + dx),
+                                   (2, hc, 2 * wc))
+        mask = idx_c == j.astype(jnp.uint8)
+        au = jnp.where(mask, sl[0, :, 0::2], au)
+        av = jnp.where(mask, sl[1, :, 1::2], av)
+        return au, av, j + 1
+
+    z = jnp.zeros((hc, wc), dtype)
+    au, av, _ = jax.lax.while_loop(cond, body, (z, z, jnp.int32(0)))
+    return au, av
+
+
+_FLOW_PACK = 2048      # flow-value pack radius for the per-pair tables
+
+
+def _sampler_prep(geom, fields, f1y, f1u, f1v, f2y, f2u, f2v,
+                  bilinear: bool = False):
+    """The t-INDEPENDENT half of the shift-decomposed sampler, computed
+    once per source pair: mirror-padded sources and the distinct LOW-RES
+    FLOW value tables.  Every blend position then derives its
+    displacement tables from the flow tables by scalar math on (K,)
+    vectors -- round 2 re-padded the sources and re-ran a field-wide
+    distinct extraction 4x per OUTPUT, which was most of the honest warp
+    cost (d(p) = iround(flow(p) * s) means the displacement value set is
+    the image of the flow value set under a scalar map)."""
+    from mpv_frame_interpolator_tpu.ops.flow import _distinct_min_extract
+    H, Wa = geom.height, geom.actual_width
+    hc, wc = H >> 1, Wa >> 1
+    K, B = _ROLL_K, _ROLL_B
+    R = _FLOW_PACK
+
+    ox12l, oy12l = fields["OX12l"], fields["OY12l"]
+    ox21l, oy21l = fields["OX21l"], fields["OY21l"]
+
+    def pack_flow(oy, ox):
+        return ((jnp.clip(oy, -R, R - 1) + R) * (2 * R)
+                + (jnp.clip(ox, -R, R - 1) + R)).astype(jnp.int32)
+
+    v12, D12, x12 = _distinct_min_extract(pack_flow(oy12l, ox12l).ravel(),
+                                          K)
+    v21, D21, x21 = _distinct_min_extract(pack_flow(oy21l, ox21l).ravel(),
+                                          K)
+    mag = jnp.maximum(
+        jnp.maximum(jnp.max(jnp.abs(ox12l)), jnp.max(jnp.abs(oy12l))),
+        jnp.maximum(jnp.max(jnp.abs(ox21l)), jnp.max(jnp.abs(oy21l))))
+    # |iround(v*s)| <= |v| for |s| <= 1 (round-half-away is odd and
+    # monotone), so one magnitude gate covers every blend position; the
+    # R-clip gate keeps the flow pack exact wherever the shift branch
+    # can be selected
+    ok = (~(x12 | x21)) & (mag <= B - 2) & (mag < R)
+
+    def unpack(v, D):
+        j = jnp.arange(v.shape[0])
+        vy = v // (2 * R) - R
+        vx = v % (2 * R) - R
+        good = j < D
+        return (jnp.where(good, vy, 0).astype(jnp.float32),
+                jnp.where(good, vx, 0).astype(jnp.float32), good)
+
+    p1 = _mirror_padded(f1y, B, H, Wa)
+    p2 = _mirror_padded(f2y, B, H, Wa)
+
+    def cpad2(u, v):
+        # full-width chroma domain (each sample doubled) so the kernel's
+        # mirror-then->>1 addressing becomes plain indexing; u and v
+        # stack so one slice serves both (_shift_sample_uv)
+        return jnp.stack([
+            _mirror_padded(jnp.repeat(u[:, :wc], 2, axis=1), B, hc, Wa),
+            _mirror_padded(jnp.repeat(v[:, :wc], 2, axis=1), B, hc, Wa)])
+
+    def cpad2_half(u, v):
+        # bilinear chroma samples in the HALF-width chroma domain
+        # (warpFrameKernel's planar-u/v addressing; u and v share their
+        # sub-pel coordinate, _upsample_uv doubles columns)
+        return jnp.stack([_mirror_padded(u[:, :wc], B, hc, wc),
+                          _mirror_padded(v[:, :wc], B, hc, wc)])
+
+    cp = cpad2_half if bilinear else cpad2
+    return {"p1": p1, "p2": p2, "c1": cp(f1u, f1v), "c2": cp(f2u, f2v),
+            "t12": unpack(v12, D12), "t21": unpack(v21, D21), "ok": ok}
+
+
+_BIG32 = jnp.int32(0x7FFFFFFF)
+_C64 = 1 << 14     # 1/64-pel displacement pack center (|d64| <= 64*_ROLL_B)
+
+
+def _derive_disp_table64(table, y_scale, x_scale):
+    """(K,) 1/64-pel displacement KEYS for the bilinear families:
+    d64 = (iround(vy*y_scale), iround(vx*x_scale)) over the distinct flow
+    values (y_scale/x_scale carry the *64 or *32 fixed-point factor),
+    deduped and BIG-padded.  Key layout: (d64y+2^14) << 15 | (d64x+2^14)."""
+    vy, vx, good = table
+    dy = jnp.clip(_iround(vy * y_scale), -_C64 + 1, _C64 - 2)
+    dx = jnp.clip(_iround(vx * x_scale), -_C64 + 1, _C64 - 2)
+    key = ((dy + _C64) << 15) | (dx + _C64)
+    key = jnp.where(good, key, _BIG32)
+    ks = jnp.sort(key)
+    dup = jnp.concatenate([jnp.zeros((1,), bool), ks[1:] == ks[:-1]])
+    ks = jnp.sort(jnp.where(dup, _BIG32, ks))
+    D = jnp.sum((ks < _BIG32).astype(jnp.int32))
+    return ks, D
+
+
+def _bilinear_shift_sample(padded, idx64, vals64, D, out_h: int,
+                           out_w: int):
+    """Shift-decomposed 1/64-pel bilinear sampling (the hopperq
+    families' quality warp): the fractional phase (fy, fx) = d64 & 63 is
+    CONSTANT per distinct displacement, so each distinct value costs 4
+    integer-offset slices + one fixed-weight blend + one select -- vs 4
+    per-pixel gathers at the chip's scalar gather rate.  `padded` may be
+    (h+2B, w+2B) luma or (2, h+2B, w+2B) stacked chroma (u/v share their
+    coordinate, see _upsample_uv's column doubling).  Returns int32 in
+    1/4096 units, bit-identical to _bilinear_sample."""
+    B = _ROLL_B
+    chroma = padded.ndim == 3
+
+    def cond(c):
+        return c[1] < D
+
+    def body(c):
+        acc, j = c
+        v = vals64[j]
+        dy64 = (v >> 15) - _C64
+        dx64 = (v & 32767) - _C64
+        dyI = dy64 >> 6
+        fy = dy64 & 63
+        dxI = dx64 >> 6
+        fx = dx64 & 63
+
+        def tap(oy, ox):
+            if chroma:
+                sl = jax.lax.dynamic_slice(
+                    padded, (0, B + dyI + oy, B + dxI + ox),
+                    (2, out_h, out_w))
+            else:
+                sl = jax.lax.dynamic_slice(
+                    padded, (B + dyI + oy, B + dxI + ox), (out_h, out_w))
+            return sl.astype(jnp.int32)
+
+        top = tap(0, 0) * (64 - fx) + tap(0, 1) * fx
+        bot = tap(1, 0) * (64 - fx) + tap(1, 1) * fx
+        val = top * (64 - fy) + bot * fy          # 1/4096 units
+        mask = idx64 == j.astype(jnp.uint8)
+        if chroma:
+            mask = mask[None]
+        return jnp.where(mask, val, acc), j + 1
+
+    shape = (2, out_h, out_w) if chroma else (out_h, out_w)
+    acc0 = jnp.zeros(shape, jnp.int32)
+    acc, _ = jax.lax.while_loop(cond, body, (acc0, jnp.int32(0)))
+    return acc
+
+
+def _derive_disp_table(table, y_scale, x_scale):
+    """(K,) displacement KEYS for one direction/plane at one blend
+    position: d = (iround(vy*y_scale), iround(vx*x_scale)) over the
+    distinct flow values, deduped (rounding collapses neighbors) and
+    BIG-padded.  Two 96-element sorts -- table work, not field work."""
+    B = _ROLL_B
+    SPAN = 2 * B + 2
+    vy, vx, good = table
+    dy = jnp.clip(_iround(vy * y_scale), -B, B)
+    dx = jnp.clip(_iround(vx * x_scale), -B, B)
+    key = (dy + B) * SPAN + (dx + B)
+    key = jnp.where(good, key, _BIG32)
+    ks = jnp.sort(key)
+    dup = jnp.concatenate([jnp.zeros((1,), bool), ks[1:] == ks[:-1]])
+    ks = jnp.sort(jnp.where(dup, _BIG32, ks))      # dups -> BIG -> tail
+    D = jnp.sum((ks < _BIG32).astype(jnp.int32))
+    return ks, D
+
+
+def _bilinear_all_planes(geom, fields, f1y, f1u, f1v, f2y, f2u, f2v,
+                         fs12, fs21):
+    """The four bilinear-sampled quantities of the hopperq families --
+    (s12q, s21q, cu12, cu21), luma (H, Wa) and stacked u/v (2, hc, wc),
+    all int32 in 1/4096 units -- via the shift-decomposed 1/64-pel
+    sampler with a per-pixel-gather fallback selected at RUNTIME.
+    Bit-identical to the _bilinear_sample path in both branches."""
+    H, Wa = geom.height, geom.actual_width
+    hc, wc = H >> 1, Wa >> 1
+    prep = fields.get("SPREP")
+    if prep is None:
+        prep = _sampler_prep(geom, fields, f1y, f1u, f1v, f2y, f2u, f2v,
+                             bilinear=True)
+
+    ox12l = fields["OX12l"].astype(jnp.float32)
+    oy12l = fields["OY12l"].astype(jnp.float32)
+    ox21l = fields["OX21l"].astype(jnp.float32)
+    oy21l = fields["OY21l"].astype(jnp.float32)
+
+    def pack64(dy, dx):
+        dy = jnp.clip(dy, -_C64 + 1, _C64 - 2)
+        dx = jnp.clip(dx, -_C64 + 1, _C64 - 2)
+        return ((dy + _C64) << 15) | (dx + _C64)
+
+    # low-res 1/64-pel displacements (iround commutes with the nearest
+    # upsample, so these are exactly the per-pixel values)
+    k12 = pack64(_iround(oy12l * (fs12 * 64)), _iround(ox12l * (fs12 * 64)))
+    k21 = pack64(-_iround(oy21l * (fs21 * 64)),
+                 -_iround(ox21l * (fs21 * 64)))
+    kc12 = pack64(_iround(oy12l * (fs12 * 32)),
+                  _iround(ox12l * (fs12 * 32)))
+    kc21 = pack64(-_iround(oy21l * (fs21 * 32)),
+                  -_iround(ox21l * (fs21 * 32)))
+    v12, D12 = _derive_disp_table64(prep["t12"], fs12 * 64, fs12 * 64)
+    v21, D21 = _derive_disp_table64(prep["t21"], -fs21 * 64, -fs21 * 64)
+    v12c, D12c = _derive_disp_table64(prep["t12"], fs12 * 32, fs12 * 32)
+    v21c, D21c = _derive_disp_table64(prep["t21"], -fs21 * 32, -fs21 * 32)
+
+    i12 = _upsample_y(geom, _index_field(k12, v12, D12))
+    i21 = _upsample_y(geom, _index_field(k21, v21, D21))
+    # u and v share their chroma coordinate (_upsample_uv doubles
+    # columns), so one parity slice keys both
+    i12c = _upsample_uv(geom, _index_field(kc12, v12c, D12c))[:, 0::2]
+    i21c = _upsample_uv(geom, _index_field(kc21, v21c, D21c))[:, 0::2]
+
+    def shift_branch(_):
+        s12q = _bilinear_shift_sample(prep["p1"], i12, v12, D12, H, Wa)
+        s21q = _bilinear_shift_sample(prep["p2"], i21, v21, D21, H, Wa)
+        cu12 = _bilinear_shift_sample(prep["c1"], i12c, v12c, D12c,
+                                      hc, wc)
+        cu21 = _bilinear_shift_sample(prep["c2"], i21c, v21c, D21c,
+                                      hc, wc)
+        return s12q, s21q, cu12, cu21
+
+    def gather_branch(_):
+        cyg, cxg = jnp.mgrid[0:H, 0:Wa]
+        OX12, OY12 = fields["OX12"], fields["OY12"]
+        OX21, OY21 = fields["OX21"], fields["OY21"]
+        p12x = (cxg << 6) + _iround(OX12.astype(jnp.float32) * (fs12 * 64))
+        p12y = (cyg << 6) + _iround(OY12.astype(jnp.float32) * (fs12 * 64))
+        p21x = (cxg << 6) - _iround(OX21.astype(jnp.float32) * (fs21 * 64))
+        p21y = (cyg << 6) - _iround(OY21.astype(jnp.float32) * (fs21 * 64))
+        s12q = _bilinear_sample(f1y, p12y, p12x, H, Wa)
+        s21q = _bilinear_sample(f2y, p21y, p21x, H, Wa)
+        cyg, cxg = jnp.mgrid[0:hc, 0:Wa]
+        OX12c, OY12c = fields["OX12c"], fields["OY12c"]
+        OX21c, OY21c = fields["OX21c"], fields["OY21c"]
+        pxg = (cxg >> 1) << 6
+        pyg = cyg << 6
+        p12x = pxg + _iround(OX12c.astype(jnp.float32) * (fs12 * 32))
+        p12y = pyg + _iround(OY12c.astype(jnp.float32) * (fs12 * 32))
+        p21x = pxg - _iround(OX21c.astype(jnp.float32) * (fs21 * 32))
+        p21y = pyg - _iround(OY21c.astype(jnp.float32) * (fs21 * 32))
+
+        def bs(plane, py, px, par):
+            return _bilinear_sample(plane, py[:, par::2], px[:, par::2],
+                                    hc, wc)
+
+        cu12 = jnp.stack([bs(f1u, p12y, p12x, 0), bs(f1v, p12y, p12x, 1)])
+        cu21 = jnp.stack([bs(f2u, p21y, p21x, 0), bs(f2v, p21y, p21x, 1)])
+        return s12q, s21q, cu12, cu21
+
+    return jax.lax.cond(prep["ok"], shift_branch, gather_branch, None)
 
 
 def _sample_all_planes(geom, fields, f1y, f1u, f1v, f2y, f2u, f2v,
                        fs12, fs21, ncy12, ncx12, ncy21, ncx21):
     """The six nearest-sampled planes (s12, s21, su12, su21, sv12, sv21)
     via the shift-decomposed path, with a compiled per-pixel-gather
-    fallback selected at RUNTIME when the displacement field is too wild
-    for the static budgets (distinct count > _ROLL_K or |shift| near
-    _ROLL_B).  Bit-identical to the gather path in both branches."""
+    fallback selected at RUNTIME when the flow field is too wild for the
+    static budgets (distinct count > _ROLL_K or |flow| near _ROLL_B).
+    Bit-identical to the gather path in both branches."""
     H, Wa = geom.height, geom.actual_width
     hc, wc = H >> 1, Wa >> 1
-    K, B = _ROLL_K, _ROLL_B
+    B = _ROLL_B
     SPAN = 2 * B + 2
+    prep = fields.get("SPREP")
+    if prep is None:
+        prep = _sampler_prep(geom, fields, f1y, f1u, f1v, f2y, f2u, f2v)
 
     ox12l = fields["OX12l"].astype(jnp.float32)
     oy12l = fields["OY12l"].astype(jnp.float32)
@@ -293,43 +571,31 @@ def _sample_all_planes(geom, fields, f1y, f1u, f1v, f2y, f2u, f2v,
     def pack(dy, dx):
         return (clip(dy) + B) * SPAN + (clip(dx) + B)
 
-    key12f = _upsample_y(geom, pack(d12y, d12x))
-    key21f = _upsample_y(geom, pack(d21y, d21x))
-    key12cf = _upsample_uv(geom, pack(c12y, c12x))
-    key21cf = _upsample_uv(geom, pack(c21y, c21x))
+    # per-position displacement tables from the per-pair flow tables:
+    # iround(v * s) with s = +-fs (the 21-direction negation folds into
+    # the scale; round-half-away is odd, so iround(v*-s) == -iround(v*s))
+    v12, D12 = _derive_disp_table(prep["t12"], fs12, fs12)
+    v21, D21 = _derive_disp_table(prep["t21"], -fs21, -fs21)
+    v12c, D12c = _derive_disp_table(prep["t12"], fs12 * 0.5, fs12)
+    v21c, D21c = _derive_disp_table(prep["t21"], -fs21 * 0.5, -fs21)
 
-    _, v12, D12, x12 = _distinct_displacements(clip(d12y), clip(d12x), K)
-    _, v21, D21, x21 = _distinct_displacements(clip(d21y), clip(d21x), K)
-    _, v12c, D12c, x12c = _distinct_displacements(clip(c12y[::2, ::2]),
-                                                  clip(c12x[::2, ::2]), K)
-    _, v21c, D21c, x21c = _distinct_displacements(clip(c21y[::2, ::2]),
-                                                  clip(c21x[::2, ::2]), K)
+    # low-res index lookup, then nearest-upsampled as ONE BYTE per pixel
+    i12f = _upsample_y(geom, _index_field(pack(d12y, d12x), v12, D12))
+    i21f = _upsample_y(geom, _index_field(pack(d21y, d21x), v21, D21))
+    i12cf = _upsample_uv(geom, _index_field(pack(c12y, c12x),
+                                            v12c, D12c))[:, 0::2]
+    i21cf = _upsample_uv(geom, _index_field(pack(c21y, c21x),
+                                            v21c, D21c))[:, 0::2]
 
-    mag = jnp.maximum(
-        jnp.maximum(jnp.max(jnp.abs(d12x)), jnp.max(jnp.abs(d12y))),
-        jnp.maximum(jnp.max(jnp.abs(d21x)), jnp.max(jnp.abs(d21y))))
-    ok = (~(x12 | x21 | x12c | x21c)) & (mag <= B - 2)
+    ok = prep["ok"]
 
     def shift_branch(_):
-        p1 = _mirror_padded(f1y, B, H, Wa)
-        p2 = _mirror_padded(f2y, B, H, Wa)
-        s12 = _shift_sample(p1, key12f, v12, D12, H, Wa, f1y.dtype)
-        s21 = _shift_sample(p2, key21f, v21, D21, H, Wa, f2y.dtype)
-
-        def cpad(u):
-            # full-width chroma domain (each sample doubled) so the
-            # kernel's mirror-then->>1 addressing becomes plain indexing
-            u2 = jnp.repeat(u[:, :wc], 2, axis=1)
-            return _mirror_padded(u2, B, hc, Wa)
-
-        su12 = _shift_sample(cpad(f1u), key12cf[:, 0::2], v12c, D12c,
-                             hc, wc, f1u.dtype, col_offset=0, col_stride=2)
-        sv12 = _shift_sample(cpad(f1v), key12cf[:, 1::2], v12c, D12c,
-                             hc, wc, f1v.dtype, col_offset=1, col_stride=2)
-        su21 = _shift_sample(cpad(f2u), key21cf[:, 0::2], v21c, D21c,
-                             hc, wc, f2u.dtype, col_offset=0, col_stride=2)
-        sv21 = _shift_sample(cpad(f2v), key21cf[:, 1::2], v21c, D21c,
-                             hc, wc, f2v.dtype, col_offset=1, col_stride=2)
+        s12 = _shift_sample(prep["p1"], i12f, v12, D12, H, Wa, f1y.dtype)
+        s21 = _shift_sample(prep["p2"], i21f, v21, D21, H, Wa, f2y.dtype)
+        su12, sv12 = _shift_sample_uv(prep["c1"], i12cf, v12c, D12c,
+                                      hc, wc, f1u.dtype)
+        su21, sv21 = _shift_sample_uv(prep["c2"], i21cf, v21c, D21c,
+                                      hc, wc, f2u.dtype)
         return s12, s21, su12, su21, sv12, sv21
 
     def gather_branch(_):
@@ -566,6 +832,11 @@ def _warp_sample(geom: FlowGeometry, mode: int, scale_shift: int, dtype,
                  and "OX12l" in fields
                  and mode in (WARPED_FRAME_12, WARPED_FRAME_21,
                               BLENDED_FRAME, HSV_FLOW))
+    # the measured-sub-pel combo (FX fields) stays on the gather path:
+    # its per-pixel 1/64 refinement breaks the few-distinct-values
+    # structure the shift decomposition rides
+    use_bshift = (sampling == "shift" and use_bilinear
+                  and "OX12l" in fields and "FX12" not in fields)
     cyg, cxg = jnp.mgrid[0:H, 0:Wa]
     ncx12 = mirror_edge2(cxg + _iround(OX12.astype(jnp.float32) * fs12), Wa)
     ncy12 = mirror_edge2(cyg + _iround(OY12.astype(jnp.float32) * fs12), H)
@@ -573,14 +844,30 @@ def _warp_sample(geom: FlowGeometry, mode: int, scale_shift: int, dtype,
     ncy21 = mirror_edge2(cyg - _iround(OY21.astype(jnp.float32) * fs21), H)
 
     sp = None
+    bq = None
     if use_shift:
         sp = _sample_all_planes(geom, fields, f1y, f1u, f1v, f2y, f2u, f2v,
                                 fs12, fs21, ncy12, ncx12, ncy21, ncx21)
+    if use_bshift:
+        bq = _bilinear_all_planes(geom, fields, f1y, f1u, f1v,
+                                  f2y, f2u, f2v, fs12, fs21)
 
     if mode == WARPED_FRAME_12:
         out_y = sp[0] if use_shift else _gather(f1y, ncy12, ncx12)
     elif mode == WARPED_FRAME_21:
         out_y = sp[1] if use_shift else _gather(f2y, ncy21, ncx21)
+    elif use_bilinear and bq is not None:
+        s12q = bq[0].astype(jnp.float32)
+        s21q = bq[1].astype(jnp.float32)
+        val = (s12q * fs21 + s21q * fs12) * np.float32(1.0 / 4096.0)
+        blended = jnp.floor(val + 0.5).astype(jnp.int32)
+        if occlusion_aware:      # hopperxq: sub-pixel + occlusion handling
+            k = np.float32(1.0 / 4096.0)
+            s12i = jnp.floor(s12q * k + 0.5).astype(jnp.int32)
+            s21i = jnp.floor(s21q * k + 0.5).astype(jnp.int32)
+            blended = _occlusion_adjust(blended, s12i, s21i, fs12,
+                                        scale_shift)
+        out_y = _levels_y(blended, black, white, scale_shift)
     elif use_bilinear:
         if "FX12" in fields:
             # measured sub-pel flow (subpel_flow): integer + 1/64 frac
@@ -644,6 +931,25 @@ def _warp_sample(geom: FlowGeometry, mode: int, scale_shift: int, dtype,
     elif mode == WARPED_FRAME_21:
         out_u = sp[3] if use_shift else samp(f2u, ncy21, ncx21, 0)
         out_v = sp[5] if use_shift else samp(f2v, ncy21, ncx21, 1)
+    elif use_bilinear and bq is not None:
+        k = np.float32(1.0 / 4096.0)
+        bu12 = bq[2][0].astype(jnp.float32)
+        bv12 = bq[2][1].astype(jnp.float32)
+        bu21 = bq[3][0].astype(jnp.float32)
+        bv21 = bq[3][1].astype(jnp.float32)
+        bu = jnp.floor((bu12 * fs21 + bu21 * fs12) * k + 0.5).astype(jnp.int32)
+        bv = jnp.floor((bv12 * fs21 + bv21 * fs12) * k + 0.5).astype(jnp.int32)
+        if occlusion_aware:      # hopperxq
+            bu = _occlusion_adjust(
+                bu, jnp.floor(bu12 * k + 0.5).astype(jnp.int32),
+                jnp.floor(bu21 * k + 0.5).astype(jnp.int32), fs12,
+                scale_shift)
+            bv = _occlusion_adjust(
+                bv, jnp.floor(bv12 * k + 0.5).astype(jnp.int32),
+                jnp.floor(bv21 * k + 0.5).astype(jnp.int32), fs12,
+                scale_shift)
+        out_u = _levels_uv(bu, white, scale_shift)
+        out_v = _levels_uv(bv, white, scale_shift)
     elif use_bilinear:
         # planar chroma space: horizontal displacement is off_x/2 chroma
         # samples, vertical off_y/2 chroma rows

@@ -34,10 +34,14 @@ shape on one chip, with the compiled XLA programs shared process-wide
 (the step factories are lru_caches keyed by geometry/mode/model).
 
 Throughput (measured on v5e, 4x1080p 24->60, fresh processes in the same
-relay session): farm 899 vs lockstep push_batch 930 total out-fps -- the
-async scheduling is free; both saturate the same host dispatch path (a
-single plain engine measured 1139 in that session, so neither mode is
-chip-bound there).  Choose StreamFarm for independent rates / mixed
+relay session; DISPATCH-PACED numbers -- they compare the two modes but
+overstate the chip, ARCHITECTURE §3): farm 899 vs lockstep push_batch
+930 total out-fps -- the async scheduling is free; both saturate the
+same host dispatch path (a single plain engine measured 1139 in that
+session, so neither mode is chip-bound there).  The honest chip ceiling
+is the per-pair chip time x K streams (utils/chiptime.py); on a real
+PCIe host the dispatch path is not the relay's.  Choose StreamFarm for
+independent rates / mixed
 geometries / per-stream backpressure, MultiStreamEngine when a simple
 lockstep tick fits the caller.
 

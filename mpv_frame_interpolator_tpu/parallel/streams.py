@@ -15,8 +15,9 @@ stream's content gets expensive, only that stream degrades (search radius
 / TooSlow); the compiled XLA programs are shared across streams
 automatically (the step factories are process-wide caches).
 
-Dispatch strategy (measured on v5e, 4x1080p 24->60; r2 numbers after the
-host dispatch-path fixes -- the r1 measurement was 1158 vs 428):
+Dispatch strategy (measured on v5e, 4x1080p 24->60; DISPATCH-PACED relay
+numbers -- they rank the two strategies but overstate the chip, see
+ARCHITECTURE §3 honest timing):
   sequential fused steps   7613 total out-fps   <- default
   vmapped across streams   1308 total out-fps   (batch_dispatch=True)
 The vmap variant looked like the obvious win but measures 5.8x SLOWER: the

@@ -372,7 +372,13 @@ def _warp_stage(geom, mode, scale_shift, cut_policy, scene_enabled, model,
     bilinear = model in ("hopperq", "hopperxq")
     shift_active = (warp_sampling == "shift" and not bilinear
                     and mode in (0, 1, 2, 3))
-    loop = jax.lax.map if (warp_loop == "scan" or shift_active) else (
+    # bilinear families ride the 1/64-pel shift sampler (ops/warp.
+    # _bilinear_all_planes) except under measured sub-pel flow, whose
+    # per-pixel refinement defeats the few-distinct-values structure
+    bshift_active = (warp_sampling == "shift" and bilinear
+                     and mode == warp_ops.BLENDED_FRAME and frac is None)
+    loop = jax.lax.map if (warp_loop == "scan" or shift_active
+                           or bshift_active) else (
         lambda f, xs: jax.vmap(f)(xs))
     if mode in (warp_ops.SIDE_BY_SIDE_1, warp_ops.SIDE_BY_SIDE_2):
         def one(t):
@@ -382,6 +388,13 @@ def _warp_stage(geom, mode, scale_shift, cut_policy, scene_enabled, model,
         y, u, v = loop(one, ts_w)
     else:
         fields = warp_ops._warp_fields(geom, blurred_w, frac)
+        if shift_active or bshift_active:
+            # t-independent sampler prep (padded sources + distinct flow
+            # tables) hoisted out of the per-position loop: ONE extraction
+            # and padding serves every output of the pair
+            fields["SPREP"] = warp_ops._sampler_prep(
+                geom, fields, f1y, f1u, f1v, f2y, f2u, f2v,
+                bilinear=bilinear)
 
         def one(t):
             return warp_ops._warp_sample(
@@ -389,7 +402,8 @@ def _warp_stage(geom, mode, scale_shift, cut_policy, scene_enabled, model,
                 f1y, f1u, f1v, f2y, f2u, f2v, fields, t, black, white,
                 occlusion_aware=(model in ("hopperx", "hopperxq")),
                 bilinear=bilinear,
-                sampling="shift" if shift_active else "gather")
+                sampling="shift" if (shift_active or bshift_active)
+                else "gather")
         y, u, v = loop(one, ts_w)
     n, hc, wc = u.shape
     uv = jnp.stack((u, v), axis=3).reshape(n, hc, wc * 2)

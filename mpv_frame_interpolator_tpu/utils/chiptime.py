@@ -14,19 +14,23 @@ import numpy as np
 
 def chip_pair_seconds(width=3840, height=2160, n_outputs=5, radius=16,
                       model="hopper", k1=8, k2=40, p010=False,
-                      repeats=2):
+                      repeats=2, layers=None):
     import jax
     import jax.numpy as jnp
     from mpv_frame_interpolator_tpu.io import synthetic
     from mpv_frame_interpolator_tpu.ops.flow import FlowGeometry
     from mpv_frame_interpolator_tpu.pipeline.engine import _make_source_step
 
+    if layers is None:
+        # the engine's default bucket for this radius (layer_buckets)
+        layers = next((b for b in (5, 8, 16) if b >= radius),
+                      max(radius, 16))
     cfg = synthetic.SyntheticConfig(width=width, height=height, fps=24.0,
                                     pixfmt="p010" if p010 else "nv12")
     f1, f2, _ = list(synthetic.gradient_pan(cfg, 3, vx=3, vy=1))
     geom = FlowGeometry.create(height, width, width)
     step = _make_source_step(geom, 2, 8 if p010 else 0, "nearest", True,
-                             model)
+                             model, layers=layers)
     ts = jnp.linspace(0.1, 0.9, n_outputs).astype(jnp.float32)
     args = (jnp.asarray(f1.y), jnp.asarray(f1.uv),
             jnp.asarray(f2.y), jnp.asarray(f2.uv))

@@ -220,3 +220,29 @@ class TestSubpelRefineOp:
         inner = (slice(6, -6), slice(6, -6))
         assert frac.min() >= -32 and frac.max() <= 32
         assert np.abs(frac[0][inner]).mean() > 2   # it did measure motion
+
+
+def test_shift_probes_match_gather():
+    """The phase-decomposed 3x3 probe sampler must be bit-identical to
+    the per-pixel-gather form it replaced (same contract as the pyramid
+    sampler's runtime fallback)."""
+    import mpv_frame_interpolator_tpu.ops.flow as F
+    from mpv_frame_interpolator_tpu.io import synthetic
+    cfg = synthetic.SyntheticConfig(width=W, height=H, fps=24.0)
+    f1, f2 = list(synthetic.gradient_pan(cfg, 2, vx=3, vy=2))
+    geom = FlowGeometry.create(H, W, W)
+    pl = lambda f: (jnp.asarray(f.y), jnp.asarray(f.uv[:, 0::2]),
+                    jnp.asarray(f.uv[:, 1::2]))
+    a1, a2 = pl(f1), pl(f2)
+    off, _ = _flow_impl(geom, jnp.int32(8), 0, *a1, *a2,
+                        jnp.int32(8), jnp.int32(6), layers=16)
+    probe = _subsampled_f2(geom, *a2)
+    frac_shift = subpel_refine(geom, off, *a1, probe)
+    orig = F._phase_stacks
+    F._phase_stacks = lambda *a, **k: None      # force the gather branch
+    try:
+        frac_gather = subpel_refine(geom, off, *a1, probe)
+    finally:
+        F._phase_stacks = orig
+    np.testing.assert_array_equal(np.asarray(frac_shift),
+                                  np.asarray(frac_gather))

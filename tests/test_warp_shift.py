@@ -122,3 +122,41 @@ class TestEngineDefaultShift:
             assert pg == ps
             np.testing.assert_array_equal(yg, ys)
             np.testing.assert_array_equal(uvg, uvs)
+
+
+class TestBilinearShift:
+    """The 1/64-pel shift sampler (hopperq families) must be
+    bit-identical to the per-pixel _bilinear_sample path, fallback
+    included."""
+
+    @pytest.mark.parametrize("kind", FIELDS)
+    @pytest.mark.parametrize("occ", [False, True])
+    def test_blended_8bit(self, kind, occ):
+        geom = FlowGeometry.create(H_, W_, W_)
+        a = [jnp.asarray(p) for p in planes(11, 0)]
+        blurred = flow_field(geom, kind)
+        fields = W._warp_fields(geom, blurred)
+        outs = {}
+        for sampling in ("gather", "shift"):
+            y, u, v = W._warp_sample(
+                geom, W.BLENDED_FRAME, 0, jnp.uint8, *a, fields,
+                jnp.float32(0.4), jnp.float32(0.0), jnp.float32(255.0),
+                occlusion_aware=occ, bilinear=True, sampling=sampling)
+            outs[sampling] = (np.asarray(y), np.asarray(u), np.asarray(v))
+        for g, s in zip(outs["gather"], outs["shift"]):
+            np.testing.assert_array_equal(g, s)
+
+    def test_blended_p010(self):
+        geom = FlowGeometry.create(H_, W_, W_)
+        a = [jnp.asarray(p) for p in planes(11, 8)]
+        blurred = flow_field(geom, "few")
+        fields = W._warp_fields(geom, blurred)
+        outs = {}
+        for sampling in ("gather", "shift"):
+            y, u, v = W._warp_sample(
+                geom, W.BLENDED_FRAME, 8, jnp.uint16, *a, fields,
+                jnp.float32(0.63), jnp.float32(0.0), jnp.float32(255.0),
+                bilinear=True, sampling=sampling)
+            outs[sampling] = (np.asarray(y), np.asarray(u), np.asarray(v))
+        for g, s in zip(outs["gather"], outs["shift"]):
+            np.testing.assert_array_equal(g, s)

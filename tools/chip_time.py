@@ -23,9 +23,10 @@ from mpv_frame_interpolator_tpu.utils.chiptime import chip_pair_seconds
 def main():
     size = sys.argv[1] if len(sys.argv) > 1 else "3840x2160"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    radius = int(sys.argv[3]) if len(sys.argv) > 3 else 16
     w, h = map(int, size.split("x"))
-    sec = chip_pair_seconds(w, h, n)
-    print(f"{w}x{h} radius16 {n} outputs/pair: {sec*1e3:.3f} ms/pair "
+    sec = chip_pair_seconds(w, h, n, radius)
+    print(f"{w}x{h} radius{radius} {n} outputs/pair: {sec*1e3:.3f} ms/pair "
           f"= {sec/n*1e6:.0f} us/output = {n/sec:.0f} out-fps chip-bound")
     return 0
 
