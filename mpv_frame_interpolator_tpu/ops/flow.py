@@ -678,7 +678,14 @@ def _flow_impl(geom: FlowGeometry, radius, luma_shift: int,
                                               off_x, off_y, sums)
 
     offset = jnp.stack([off_x, off_y])
-    if pallas_blur:
+    # TPU only: off-TPU the kernel would run in interpret mode, whose
+    # host-callback custom-call makes the enclosing fused program
+    # unserializable -- XLA:CPU's executable.serialize() has segfaulted
+    # writing it to the persistent compile cache.  The XLA blur is
+    # bit-identical (tests/test_pallas_kernels.py), so the flag simply
+    # has no effect on non-TPU backends; interpret-mode coverage runs on
+    # the standalone blur_flow_pallas, never inside a cached program.
+    if pallas_blur and jax.default_backend() == "tpu":
         from mpv_frame_interpolator_tpu.ops.pallas.blur import blur_flow_pallas
         blurred = blur_flow_pallas(offset, lh, lw)
     else:

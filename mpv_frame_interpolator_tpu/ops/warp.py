@@ -536,12 +536,14 @@ def _bilinear_all_planes(geom, fields, f1y, f1u, f1v, f2y, f2u, f2v,
 
 
 def _sample_all_planes(geom, fields, f1y, f1u, f1v, f2y, f2u, f2v,
-                       fs12, fs21, ncy12, ncx12, ncy21, ncx21):
+                       fs12, fs21, pallas: bool = False):
     """The six nearest-sampled planes (s12, s21, su12, su21, sv12, sv21)
     via the shift-decomposed path, with a compiled per-pixel-gather
     fallback selected at RUNTIME when the flow field is too wild for the
     static budgets (distinct count > _ROLL_K or |flow| near _ROLL_B).
-    Bit-identical to the gather path in both branches."""
+    Bit-identical to the gather path in both branches.  pallas=True
+    routes the luma loops through the tiled kernel
+    (ops/pallas/warp_sample.py; TPU only, same values)."""
     H, Wa = geom.height, geom.actual_width
     hc, wc = H >> 1, Wa >> 1
     B = _ROLL_B
@@ -580,8 +582,10 @@ def _sample_all_planes(geom, fields, f1y, f1u, f1v, f2y, f2u, f2v,
     v21c, D21c = _derive_disp_table(prep["t21"], -fs21 * 0.5, -fs21)
 
     # low-res index lookup, then nearest-upsampled as ONE BYTE per pixel
-    i12f = _upsample_y(geom, _index_field(pack(d12y, d12x), v12, D12))
-    i21f = _upsample_y(geom, _index_field(pack(d21y, d21x), v21, D21))
+    i12lo = _index_field(pack(d12y, d12x), v12, D12)
+    i21lo = _index_field(pack(d21y, d21x), v21, D21)
+    i12f = _upsample_y(geom, i12lo)
+    i21f = _upsample_y(geom, i21lo)
     i12cf = _upsample_uv(geom, _index_field(pack(c12y, c12x),
                                             v12c, D12c))[:, 0::2]
     i21cf = _upsample_uv(geom, _index_field(pack(c21y, c21x),
@@ -590,8 +594,22 @@ def _sample_all_planes(geom, fields, f1y, f1u, f1v, f2y, f2u, f2v,
     ok = prep["ok"]
 
     def shift_branch(_):
-        s12 = _shift_sample(prep["p1"], i12f, v12, D12, H, Wa, f1y.dtype)
-        s21 = _shift_sample(prep["p2"], i21f, v21, D21, H, Wa, f2y.dtype)
+        if pallas:
+            # tiled Pallas sampler: per-tile distinct-value skip cuts
+            # the luma select loops from ~D x frame traffic to ~1 x
+            # (ops/pallas/warp_sample.py); bit-identical
+            from mpv_frame_interpolator_tpu.ops.pallas.warp_sample import (
+                shift_sample_pallas)
+            rs = geom.res_scalar
+            s12 = shift_sample_pallas(prep["p1"], i12f, i12lo, v12, D12,
+                                      H, Wa, rs)
+            s21 = shift_sample_pallas(prep["p2"], i21f, i21lo, v21, D21,
+                                      H, Wa, rs)
+        else:
+            s12 = _shift_sample(prep["p1"], i12f, v12, D12, H, Wa,
+                                f1y.dtype)
+            s21 = _shift_sample(prep["p2"], i21f, v21, D21, H, Wa,
+                                f2y.dtype)
         su12, sv12 = _shift_sample_uv(prep["c1"], i12cf, v12c, D12c,
                                       hc, wc, f1u.dtype)
         su21, sv21 = _shift_sample_uv(prep["c2"], i21cf, v21c, D21c,
@@ -599,6 +617,19 @@ def _sample_all_planes(geom, fields, f1y, f1u, f1v, f2y, f2u, f2v,
         return s12, s21, su12, su21, sv12, sv21
 
     def gather_branch(_):
+        # coordinate fields built INSIDE the branch: the shift path never
+        # pays for the fallback's per-pixel round/mirror math
+        cyg, cxg = jnp.mgrid[0:H, 0:Wa]
+        OX12, OY12 = fields["OX12"], fields["OY12"]
+        OX21, OY21 = fields["OX21"], fields["OY21"]
+        ncx12 = mirror_edge2(
+            cxg + _iround(OX12.astype(jnp.float32) * fs12), Wa)
+        ncy12 = mirror_edge2(
+            cyg + _iround(OY12.astype(jnp.float32) * fs12), H)
+        ncx21 = mirror_edge2(
+            cxg - _iround(OX21.astype(jnp.float32) * fs21), Wa)
+        ncy21 = mirror_edge2(
+            cyg - _iround(OY21.astype(jnp.float32) * fs21), H)
         s12 = _gather(f1y, ncy12, ncx12)
         s21 = _gather(f2y, ncy21, ncx21)
         OX12c, OY12c = fields["OX12c"], fields["OY12c"]
@@ -679,6 +710,33 @@ def _levels_uv(b_int, white, scale_shift: int):
     m = 128 << scale_shift
     n = jnp.maximum((b_int - m) * 255 + m * w, 0)
     return jnp.minimum(_div_exact(n, w), 255 << scale_shift)
+
+
+def _levels_y_rt(b_int, black, white, scale_shift: int):
+    """_levels_y with a runtime shortcut for the DEFAULT levels: at
+    black=0/white=255 the mapping reduces exactly to clip(b, 0, cap)
+    (n = 255*b, floor(n/255) = b), so the hot path skips the ~8 full-res
+    integer-division-fixup ops.  Levels stay traced knobs -- no
+    recompile when the user moves them; the cond just takes the other
+    branch."""
+    k = jnp.round(black).astype(jnp.int32)
+    w = jnp.round(white).astype(jnp.int32)
+    cap = jnp.int32(255 << scale_shift)
+    return jax.lax.cond(
+        (k == 0) & (w == 255),
+        lambda x: jnp.clip(x, 0, cap),
+        lambda x: _levels_y(x, black, white, scale_shift), b_int)
+
+
+def _levels_uv_rt(b_int, white, scale_shift: int):
+    """_levels_uv with the default-levels clip shortcut (see
+    _levels_y_rt; the chroma map at white=255 is clip(b, 0, cap))."""
+    w = jnp.round(white).astype(jnp.int32)
+    cap = jnp.int32(255 << scale_shift)
+    return jax.lax.cond(
+        w == 255,
+        lambda x: jnp.clip(x, 0, cap),
+        lambda x: _levels_uv(x, white, scale_shift), b_int)
 
 
 def _visualize_flow(off_x, off_y, curr_8, channel: int, res_impact: int):
@@ -828,26 +886,41 @@ def _warp_sample(geom: FlowGeometry, mode: int, scale_shift: int, dtype,
     OX21, OY21 = fields["OX21"], fields["OY21"]
 
     use_bilinear = bilinear and mode == BLENDED_FRAME
-    use_shift = (sampling == "shift" and not use_bilinear
+    # "pallas" = shift decomposition with the tiled kernel on the luma
+    # loops; TPU only (off-TPU the kernel would run in interpret mode,
+    # whose host-callback custom-call makes the enclosing program
+    # unserializable -- same gate as ops/flow's pallas_blur)
+    use_pallas = sampling == "pallas" and jax.default_backend() == "tpu"
+    shiftlike = sampling in ("shift", "pallas")
+    use_shift = (shiftlike and not use_bilinear
                  and "OX12l" in fields
                  and mode in (WARPED_FRAME_12, WARPED_FRAME_21,
                               BLENDED_FRAME, HSV_FLOW))
     # the measured-sub-pel combo (FX fields) stays on the gather path:
     # its per-pixel 1/64 refinement breaks the few-distinct-values
     # structure the shift decomposition rides
-    use_bshift = (sampling == "shift" and use_bilinear
+    use_bshift = (shiftlike and use_bilinear
                   and "OX12l" in fields and "FX12" not in fields)
-    cyg, cxg = jnp.mgrid[0:H, 0:Wa]
-    ncx12 = mirror_edge2(cxg + _iround(OX12.astype(jnp.float32) * fs12), Wa)
-    ncy12 = mirror_edge2(cyg + _iround(OY12.astype(jnp.float32) * fs12), H)
-    ncx21 = mirror_edge2(cxg - _iround(OX21.astype(jnp.float32) * fs21), Wa)
-    ncy21 = mirror_edge2(cyg - _iround(OY21.astype(jnp.float32) * fs21), H)
+    # the reference's rounded+mirrored coordinate fields, built only for
+    # the paths that gather with them (the shift samplers never touch
+    # them; their runtime fallbacks build their own inside the cond)
+    ncy12 = ncx12 = ncy21 = ncx21 = None
+    if not use_shift and not use_bilinear:
+        cyg, cxg = jnp.mgrid[0:H, 0:Wa]
+        ncx12 = mirror_edge2(
+            cxg + _iround(OX12.astype(jnp.float32) * fs12), Wa)
+        ncy12 = mirror_edge2(
+            cyg + _iround(OY12.astype(jnp.float32) * fs12), H)
+        ncx21 = mirror_edge2(
+            cxg - _iround(OX21.astype(jnp.float32) * fs21), Wa)
+        ncy21 = mirror_edge2(
+            cyg - _iround(OY21.astype(jnp.float32) * fs21), H)
 
     sp = None
     bq = None
     if use_shift:
         sp = _sample_all_planes(geom, fields, f1y, f1u, f1v, f2y, f2u, f2v,
-                                fs12, fs21, ncy12, ncx12, ncy21, ncx21)
+                                fs12, fs21, pallas=use_pallas)
     if use_bshift:
         bq = _bilinear_all_planes(geom, fields, f1y, f1u, f1v,
                                   f2y, f2u, f2v, fs12, fs21)
@@ -867,8 +940,9 @@ def _warp_sample(geom: FlowGeometry, mode: int, scale_shift: int, dtype,
             s21i = jnp.floor(s21q * k + 0.5).astype(jnp.int32)
             blended = _occlusion_adjust(blended, s12i, s21i, fs12,
                                         scale_shift)
-        out_y = _levels_y(blended, black, white, scale_shift)
+        out_y = _levels_y_rt(blended, black, white, scale_shift)
     elif use_bilinear:
+        cyg, cxg = jnp.mgrid[0:H, 0:Wa]
         if "FX12" in fields:
             # measured sub-pel flow (subpel_flow): integer + 1/64 frac
             # combined in fixed point before the blend-time scale
@@ -895,7 +969,7 @@ def _warp_sample(geom: FlowGeometry, mode: int, scale_shift: int, dtype,
             s21i = jnp.floor(s21q * k + 0.5).astype(jnp.int32)
             blended = _occlusion_adjust(blended, s12i, s21i, fs12,
                                         scale_shift)
-        out_y = _levels_y(blended, black, white, scale_shift)
+        out_y = _levels_y_rt(blended, black, white, scale_shift)
     else:
         s12 = sp[0] if use_shift else _gather(f1y, ncy12, ncx12)
         s21 = sp[1] if use_shift else _gather(f2y, ncy21, ncx21)
@@ -906,7 +980,7 @@ def _warp_sample(geom: FlowGeometry, mode: int, scale_shift: int, dtype,
             res_impact = 4 if rs <= 2 else 1
             b8 = (blended >> scale_shift) if scale_shift else blended
             blended = _visualize_flow(-OX12, -OY12, b8, 0, res_impact) << scale_shift
-        out_y = _levels_y(blended, black, white, scale_shift)
+        out_y = _levels_y_rt(blended, black, white, scale_shift)
     out_y = out_y.astype(dtype)
 
     # ---------------- chroma pass (cz = 1) ----------------
@@ -915,10 +989,15 @@ def _warp_sample(geom: FlowGeometry, mode: int, scale_shift: int, dtype,
 
     hc = H >> 1
     cyg, cxg = jnp.mgrid[0:hc, 0:Wa]
-    ncx12 = mirror_edge2(cxg + _iround(OX12c.astype(jnp.float32) * fs12), Wa)
-    ncy12 = mirror_edge2(cyg + _iround(OY12c.astype(jnp.float32) * fs12 * 0.5), hc)
-    ncx21 = mirror_edge2(cxg - _iround(OX21c.astype(jnp.float32) * fs21), Wa)
-    ncy21 = mirror_edge2(cyg - _iround(OY21c.astype(jnp.float32) * fs21 * 0.5), hc)
+    if not use_shift and not use_bilinear:
+        ncx12 = mirror_edge2(
+            cxg + _iround(OX12c.astype(jnp.float32) * fs12), Wa)
+        ncy12 = mirror_edge2(
+            cyg + _iround(OY12c.astype(jnp.float32) * fs12 * 0.5), hc)
+        ncx21 = mirror_edge2(
+            cxg - _iround(OX21c.astype(jnp.float32) * fs21), Wa)
+        ncy21 = mirror_edge2(
+            cyg - _iround(OY21c.astype(jnp.float32) * fs21 * 0.5), hc)
 
     def samp(plane, ncy, ncx, par):
         # NV12 addressing (newCx & ~1) + (cx & 1) on planar u/v:
@@ -948,8 +1027,8 @@ def _warp_sample(geom: FlowGeometry, mode: int, scale_shift: int, dtype,
                 bv, jnp.floor(bv12 * k + 0.5).astype(jnp.int32),
                 jnp.floor(bv21 * k + 0.5).astype(jnp.int32), fs12,
                 scale_shift)
-        out_u = _levels_uv(bu, white, scale_shift)
-        out_v = _levels_uv(bv, white, scale_shift)
+        out_u = _levels_uv_rt(bu, white, scale_shift)
+        out_v = _levels_uv_rt(bv, white, scale_shift)
     elif use_bilinear:
         # planar chroma space: horizontal displacement is off_x/2 chroma
         # samples, vertical off_y/2 chroma rows
@@ -994,8 +1073,8 @@ def _warp_sample(geom: FlowGeometry, mode: int, scale_shift: int, dtype,
                 bv, jnp.floor(bv12 * k + 0.5).astype(jnp.int32),
                 jnp.floor(bv21 * k + 0.5).astype(jnp.int32), fs12,
                 scale_shift)
-        out_u = _levels_uv(bu, white, scale_shift)
-        out_v = _levels_uv(bv, white, scale_shift)
+        out_u = _levels_uv_rt(bu, white, scale_shift)
+        out_v = _levels_uv_rt(bv, white, scale_shift)
     else:
         su12 = sp[2] if use_shift else samp(f1u, ncy12, ncx12, 0)
         su21 = sp[3] if use_shift else samp(f2u, ncy21, ncx21, 0)
@@ -1014,8 +1093,8 @@ def _warp_sample(geom: FlowGeometry, mode: int, scale_shift: int, dtype,
                                  res_impact) << scale_shift
             bv = _visualize_flow(-OX12c[:, 1::2], -OY12c[:, 1::2], bv8, 2,
                                  res_impact) << scale_shift
-        out_u = _levels_uv(bu, white, scale_shift)
-        out_v = _levels_uv(bv, white, scale_shift)
+        out_u = _levels_uv_rt(bu, white, scale_shift)
+        out_v = _levels_uv_rt(bv, white, scale_shift)
     return out_y, out_u.astype(dtype), out_v.astype(dtype)
 
 

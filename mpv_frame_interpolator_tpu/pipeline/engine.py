@@ -170,6 +170,10 @@ class EngineConfig:
     #              ARCHITECTURE §3 honest-timing revision; falls back to
     #              the gather program AT RUNTIME on pathological fields)
     #   "gather" = per-pixel gather everywhere (the round-1 design)
+    #   "pallas" = shift decomposition with the tiled Pallas kernel on
+    #              the luma select loops (per-tile distinct-value skip,
+    #              ops/pallas/warp_sample.py; TPU only -- demoted to
+    #              "shift" semantics on other backends)
     warp_sampling: str = "shift"
     # compiled flow LAYER-count variants.  The search radius is traced, so
     # radius changes inside a bucket never recompile -- but round 2 kept a
@@ -212,8 +216,8 @@ class EngineConfig:
             raise ValueError("batch_shapes must be exact|bucket")
         if self.warp_loop not in ("vmap", "scan"):
             raise ValueError("warp_loop must be vmap|scan")
-        if self.warp_sampling not in ("shift", "gather"):
-            raise ValueError("warp_sampling must be shift|gather")
+        if self.warp_sampling not in ("shift", "gather", "pallas"):
+            raise ValueError("warp_sampling must be shift|gather|pallas")
         if self.timing_source not in ("block", "amortized"):
             raise ValueError("timing_source must be block|amortized")
         if self.timing_sync_period < 1:
@@ -370,12 +374,12 @@ def _warp_stage(geom, mode, scale_shift, cut_policy, scene_enabled, model,
         ts_w = jnp.where(ts_w >= 0.5, 1.0, 0.0).astype(jnp.float32)
 
     bilinear = model in ("hopperq", "hopperxq")
-    shift_active = (warp_sampling == "shift" and not bilinear
-                    and mode in (0, 1, 2, 3))
+    shiftlike = warp_sampling in ("shift", "pallas")
+    shift_active = (shiftlike and not bilinear and mode in (0, 1, 2, 3))
     # bilinear families ride the 1/64-pel shift sampler (ops/warp.
     # _bilinear_all_planes) except under measured sub-pel flow, whose
     # per-pixel refinement defeats the few-distinct-values structure
-    bshift_active = (warp_sampling == "shift" and bilinear
+    bshift_active = (shiftlike and bilinear
                      and mode == warp_ops.BLENDED_FRAME and frac is None)
     loop = jax.lax.map if (warp_loop == "scan" or shift_active
                            or bshift_active) else (
@@ -402,7 +406,7 @@ def _warp_stage(geom, mode, scale_shift, cut_policy, scene_enabled, model,
                 f1y, f1u, f1v, f2y, f2u, f2v, fields, t, black, white,
                 occlusion_aware=(model in ("hopperx", "hopperxq")),
                 bilinear=bilinear,
-                sampling="shift" if (shift_active or bshift_active)
+                sampling=warp_sampling if (shift_active or bshift_active)
                 else "gather")
         y, u, v = loop(one, ts_w)
     n, hc, wc = u.shape

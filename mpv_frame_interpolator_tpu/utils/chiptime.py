@@ -14,7 +14,7 @@ import numpy as np
 
 def chip_pair_seconds(width=3840, height=2160, n_outputs=5, radius=16,
                       model="hopper", k1=8, k2=40, p010=False,
-                      repeats=2, layers=None):
+                      repeats=2, layers=None, warp_sampling="shift"):
     import jax
     import jax.numpy as jnp
     from mpv_frame_interpolator_tpu.io import synthetic
@@ -30,7 +30,8 @@ def chip_pair_seconds(width=3840, height=2160, n_outputs=5, radius=16,
     f1, f2, _ = list(synthetic.gradient_pan(cfg, 3, vx=3, vy=1))
     geom = FlowGeometry.create(height, width, width)
     step = _make_source_step(geom, 2, 8 if p010 else 0, "nearest", True,
-                             model, layers=layers)
+                             model, warp_sampling=warp_sampling,
+                             layers=layers)
     ts = jnp.linspace(0.1, 0.9, n_outputs).astype(jnp.float32)
     args = (jnp.asarray(f1.y), jnp.asarray(f1.uv),
             jnp.asarray(f2.y), jnp.asarray(f2.uv))

@@ -3,23 +3,35 @@ sharding tests run without TPU hardware (the Pallas kernels use
 interpret=True on CPU)."""
 
 import os
-import tempfile
 
 os.environ["JAX_PLATFORMS"] = "cpu"
-# per-session compile cache: the shared persistent cache may hold AOT
-# artifacts compiled for a DIFFERENT host CPU (the xla cpu_aot_loader
-# warns "could lead to execution errors such as SIGILL"), and loading
-# them has produced real segfaults mid-suite
-os.environ.setdefault("MFI_COMPILE_CACHE",
-                      tempfile.mkdtemp(prefix="mfi_test_jaxcache_"))
+# NO persistent compile cache under pytest (MFI_COMPILE_CACHE="" turns
+# it off): the suite is one process, so the in-memory jit cache already
+# dedups every program, and the cache only adds risk -- the shared cache
+# can hold AOT artifacts for a DIFFERENT host CPU ("could lead to
+# execution errors such as SIGILL"), and XLA:CPU's executable.serialize()
+# has segfaulted outright WRITING certain programs (observed in
+# jax's compilation_cache.put_executable_and_time during
+# test_parallel.py even with a fresh tempdir cache).
+os.environ.setdefault("MFI_COMPILE_CACHE", "")
 # no background-precompile threads under pytest: concurrent XLA:CPU
 # compiles (warm thread + test thread) have segfaulted the compiler here;
 # the tests that exercise the warm path re-enable it explicitly
 os.environ.setdefault("MFI_BG_PRECOMPILE", "0")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# SERIALIZED codegen: XLA:CPU's parallel codegen (LLVM splits compiled
+# modules across a thread pool) segfaults this host's compiler late in
+# the suite -- deterministically at test_parallel's per-device step
+# compile after ~300 accumulated programs, backtrace in
+# backend_compile_and_load, NOT reproducible with a short prefix.
+# split_count=1 keeps every compile single-threaded; the same suite
+# then passes.  Compiles get slower (the CLI subprocess tests inherit
+# this too), which the affected timeouts budget for.
+if "xla_cpu_parallel_codegen_split_count" not in flags:
+    flags = (flags + " --xla_cpu_parallel_codegen_split_count=1").strip()
+os.environ["XLA_FLAGS"] = flags
 
 # The axon sitecustomize force-selects the TPU backend via
 # jax.config.update("jax_platforms", ...), which overrides the env var --
@@ -45,6 +57,24 @@ def small_cfg():
 def pyramid_cfg():
     # tall enough that res_scalar > 0 (height 544 >> 1 = 272 > 270 -> rs 2)
     return synthetic.SyntheticConfig(width=96, height=544, fps=24.0)
+
+
+@pytest.fixture(autouse=True)
+def _drain_warm_threads():
+    """Join any background-precompile threads at test teardown: a warm
+    thread left compiling past its test's window races later tests'
+    compiles (concurrent XLA:CPU compiles have segfaulted the compiler
+    on this host -- observed in jax's compilation-cache write path)."""
+    yield
+    from mpv_frame_interpolator_tpu.pipeline import engine as em
+    if em._warm_threads:
+        if em._warm_shutdown is not None:
+            em._warm_shutdown.set()
+        for t in em._warm_threads:
+            t.join(timeout=300.0)
+        em._warm_threads.clear()
+        if em._warm_shutdown is not None:
+            em._warm_shutdown.clear()
 
 
 def frame_pair(cfg, source="moving_box", **kw):

@@ -34,6 +34,56 @@ class TestPallasBlur:
         np.testing.assert_array_equal(ref, out)
 
 
+class TestPallasWarpSampler:
+    def _case(self, rng, H, W, D_real, rs, dtype):
+        """Random block-constant index field + displacement table, the
+        structure _sample_all_planes feeds the sampler."""
+        from mpv_frame_interpolator_tpu.ops import warp as w
+        B, SPAN, K = w._ROLL_B, 2 * w._ROLL_B + 2, w._ROLL_K
+        lh, lw = -(-H // (1 << rs)), -(-W // (1 << rs))
+        # distinct displacements (dy, dx) within the padding bound
+        dy = rng.integers(-40, 40, D_real)
+        dx = rng.integers(-40, 40, D_real)
+        vals = np.full(K, 0, np.int32)
+        vals[:D_real] = (dy + B) * SPAN + (dx + B)
+        idx_lo = rng.integers(0, D_real, (lh, lw)).astype(np.uint8)
+        idx_full = np.repeat(np.repeat(idx_lo, 1 << rs, 0),
+                             1 << rs, 1)[:H, :W]
+        info = np.iinfo(dtype)
+        padded = rng.integers(0, info.max + 1,
+                              (H + 2 * B, W + 2 * B)).astype(dtype)
+        return padded, idx_full, idx_lo, vals, D_real
+
+    def _check(self, H, W, D_real, rs, dtype=np.uint8, seed=0):
+        from mpv_frame_interpolator_tpu.ops import warp as w
+        from mpv_frame_interpolator_tpu.ops.pallas.warp_sample import (
+            shift_sample_pallas)
+        rng = np.random.default_rng(seed)
+        padded, idx_full, idx_lo, vals, D = self._case(
+            rng, H, W, D_real, rs, dtype)
+        ref = np.asarray(w._shift_sample(
+            jnp.asarray(padded), jnp.asarray(idx_full), jnp.asarray(vals),
+            jnp.int32(D), H, W, jnp.asarray(padded).dtype))
+        out = np.asarray(shift_sample_pallas(
+            jnp.asarray(padded), jnp.asarray(idx_full),
+            jnp.asarray(idx_lo), jnp.asarray(vals), jnp.int32(D),
+            H, W, rs, interpret=True))
+        np.testing.assert_array_equal(ref, out)
+
+    def test_single_tile_rs0(self):
+        self._check(48, 64, 5, 0)
+
+    def test_multi_tile_rs2(self):
+        # > TILE in one dim so the grid + presence-skip paths execute
+        self._check(300, 700, 9, 2, seed=1)
+
+    def test_uint16(self):
+        self._check(96, 128, 3, 1, dtype=np.uint16, seed=2)
+
+    def test_single_distinct_value(self):
+        self._check(64, 64, 1, 0, seed=3)
+
+
 class TestEnginePallasBlur:
     def test_engine_with_pallas_blur_matches_default(self):
         """On CPU, Pallas runs interpret=False only on TPU; here we compare

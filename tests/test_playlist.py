@@ -90,7 +90,7 @@ class TestCLIPlaylist:
             [sys.executable, "-m", "mpv_frame_interpolator_tpu",
              str(a), str(b), "--untimed", "--no-resume",
              "--display-fps", "24", "--frames", "0", "-o", str(out)],
-            capture_output=True, text=True, timeout=300,
+            capture_output=True, text=True, timeout=600,
             env={**os.environ, "MFI_PLATFORM": "cpu"})
         assert r.returncode == 0, r.stderr[-2000:]
         got = list(Y4MReader(open(out, "rb")))
@@ -107,7 +107,7 @@ class TestCLIPlaylist:
             [sys.executable, "-m", "mpv_frame_interpolator_tpu",
              str(a), "--playlist", str(lst), "--untimed", "--no-resume",
              "--display-fps", "24", "--frames", "0", "-o", str(out)],
-            capture_output=True, text=True, timeout=300,
+            capture_output=True, text=True, timeout=600,
             env={**os.environ, "MFI_PLATFORM": "cpu"})
         assert r.returncode == 0, r.stderr[-2000:]
         got = list(Y4MReader(open(out, "rb")))

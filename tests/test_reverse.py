@@ -101,7 +101,7 @@ class TestPipelineBackward:
             [sys.executable, "-m", "mpv_frame_interpolator_tpu", str(path),
              "--play-direction", "backward", "--untimed", "--no-resume",
              "--display-fps", "24", "--frames", "0", "-o", str(out)],
-            capture_output=True, text=True, timeout=300,
+            capture_output=True, text=True, timeout=600,
             env={**__import__("os").environ, "MFI_PLATFORM": "cpu"})
         assert r.returncode == 0, r.stderr[-2000:]
         got = list(Y4MReader(open(out, "rb")))

@@ -116,7 +116,7 @@ class TestScreenshotCommand:
             [sys.executable, "-m", "mpv_frame_interpolator_tpu",
              "synthetic:moving_box", "--width", "64", "--height", "48",
              "--frames", "3", "--untimed", "--dump-png", str(out)],
-            capture_output=True, text=True, timeout=300,
+            capture_output=True, text=True, timeout=600,
             env={**os.environ, "MFI_PLATFORM": "cpu"})
         assert r.returncode == 0, r.stderr[-2000:]
         files = sorted(out.glob("*.png"))

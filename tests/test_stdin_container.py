@@ -25,7 +25,7 @@ def run_stdin(data: bytes, out, extra=()):
         [sys.executable, "-m", "mpv_frame_interpolator_tpu", "-",
          "--untimed", "--no-resume", "--display-fps", "48",
          "-o", str(out), *extra],
-        input=data, capture_output=True, timeout=300,
+        input=data, capture_output=True, timeout=600,
         env={**os.environ, "MFI_PLATFORM": "cpu",
              "MFI_BG_PRECOMPILE": "0"})
 
