@@ -474,7 +474,8 @@ def blur_flow(offset, lh: int, lw: int):
 
 def _make_step_branch(geom: FlowGeometry, window: int, nb_enabled: bool,
                       layers: int, luma_shift: int,
-                      f1y, f1u, f1v, f2_probe, stacks):
+                      f1y, f1u, f1v, f2_probe, stacks,
+                      stacks2=None, probe_st=None):
     """One WHOLE pyramid step as a lax.switch branch with the window
     size STATIC (branch index == iteration; there are only `iterations`
     distinct windows).  Static windows buy, vs round 2's traced-window
@@ -490,6 +491,11 @@ def _make_step_branch(geom: FlowGeometry, window: int, nb_enabled: bool,
       semantics survive, calcDeltaSumsKernel.cl:187) instead of an
       integral image read back through per-pixel gathers;
     * the neighbor fetch as a static clamped shift (slice+edge-repeat).
+
+    When `stacks2` is given (flow_kernel="pallas", TPU only), the whole
+    step instead runs as ONE Pallas kernel with everything resident in
+    VMEM (ops/pallas/flow_step.py) -- same distinct tables, same gather
+    fallback, bit-exact outputs.
 
     Branch signature: (off_x, off_y, is_y, radius_t, ds, nbs) ->
     (off_x', off_y').  Bit-exact with the unrolled
@@ -524,72 +530,100 @@ def _make_step_branch(geom: FlowGeometry, window: int, nb_enabled: bool,
             return (jnp.abs(y1 - y2[None]) + jnp.abs(u1 - u2[None])
                     + jnp.abs(v1 - v2[None]))
 
+        def commit(delta):
+            """Bias + window sums + argmin + signed-square commit (the
+            tail shared by the XLA sampling paths)."""
+            delta = delta.astype(jnp.uint32)
+            if luma_shift:
+                # P010: compare top 8 bits so bias weights keep meaning
+                delta = delta >> np.uint32(luma_shift)
+            delta = delta << delta_scalar.astype(jnp.uint32)
+
+            partial = delta + jnp.abs(probe).astype(jnp.uint32)  # bias
+            if nb_enabled:
+                # neighbor bias at +-2*window, clamped (cl:137-151)
+                nb = jnp.zeros((layers, lh, lw), jnp.uint32)
+                for axis in (1, 0):
+                    for sign in (1, -1):
+                        n_off = _shift_clamped(prev_plane, sign * w2, axis)
+                        nb = nb + jnp.abs(n_off[None] - probe).astype(
+                            jnp.uint32)
+                partial = partial + (nb << neighbor_bias_scalar.astype(
+                    jnp.uint32))
+
+            nwy, nwx = -(-lh // window), -(-lw // window)
+            if window > 1:
+                padded = jnp.zeros((layers, nwy * window, nwx * window),
+                                   jnp.uint32)
+                padded = padded.at[:, :lh, :lw].set(partial)
+                sums = padded.reshape(layers, nwy, window, nwx,
+                                      window).sum(axis=(2, 4),
+                                                  dtype=jnp.uint32)
+            else:
+                sums = partial
+            invalid = (z >= radius_t)[:, None, None]
+            sums = jnp.where(invalid, jnp.uint32(0xFFFFFFFF), sums)
+            lowest = jnp.argmin(sums, axis=0).astype(jnp.int32)  # 1st min
+            rel2 = jnp.mod(lowest, radius_t) - radius_t // 2
+            adj2 = jnp.where(rel2 > 0, rel2 * rel2, -(rel2 * rel2))
+            if window > 1:
+                adj2 = jnp.repeat(jnp.repeat(adj2, window, 0),
+                                  window, 1)[:lh, :lw]
+            return (off_x + adj2 * (1 - is_y), off_y + adj2 * is_y)
+
         if stacks is None:
-            delta = gather_delta(None)
-        else:
-            # phase-decomposed candidate sampling over the distinct
-            # committed offsets (_delta_layers_shift); gather fallback
-            # at runtime for wild fields
-            key_b, vals, D, exceeded = _distinct_base_offsets(
-                off_y, off_x, _FLOW_K, stride=window)
-            max_adj = (layers // 2) ** 2
-            # subsampled max == field max by block constancy
-            mag = jnp.maximum(jnp.max(jnp.abs(off_x[::window, ::window])),
-                              jnp.max(jnp.abs(off_y[::window, ::window])))
-            # third conjunct: the pack keys clip at +-2**11; past that a
-            # shift could be mis-keyed without tripping the padding bound
-            # (possible at res_scalar >= 5, i.e. beyond-8K geometries)
-            ok = (~exceeded) & (mag + max_adj <= (_FLOW_BLOW << rs) - 1) \
-                & (mag < (1 << 11))
-            adj_flat = adj[:, 0, 0]
+            return commit(gather_delta(None))
 
-            def shift_delta(_):
-                return _delta_layers_shift(geom, stacks, key_b, vals, D,
-                                           adj_flat * is_y,
-                                           adj_flat * (1 - is_y), layers,
-                                           (y2, u2, v2), luma_shift,
-                                           rep=window)
+        # phase-decomposed candidate sampling over the distinct
+        # committed offsets; gather fallback at runtime for wild fields
+        key_b, vals, D, exceeded = _distinct_base_offsets(
+            off_y, off_x, _FLOW_K, stride=window)
+        max_adj = (layers // 2) ** 2
+        # subsampled max == field max by block constancy
+        mag = jnp.maximum(jnp.max(jnp.abs(off_x[::window, ::window])),
+                          jnp.max(jnp.abs(off_y[::window, ::window])))
+        # third conjunct: the pack keys clip at +-2**11; past that a
+        # shift could be mis-keyed without tripping the padding bound
+        # (possible at res_scalar >= 5, i.e. beyond-8K geometries)
+        ok = (~exceeded) & (mag + max_adj <= (_FLOW_BLOW << rs) - 1) \
+            & (mag < (1 << 11))
+        adj_flat = adj[:, 0, 0]
 
-            delta = jax.lax.cond(ok, shift_delta, gather_delta, None)
+        if stacks2 is not None:
+            from mpv_frame_interpolator_tpu.ops.pallas import flow_step
 
-        delta = delta.astype(jnp.uint32)
-        if luma_shift:
-            # P010: compare top 8 bits so bias weights keep their meaning
-            delta = delta >> np.uint32(luma_shift)
-        delta = delta << delta_scalar.astype(jnp.uint32)
+            def pallas_step(_):
+                R = 1 << 11
+                idx = flow_step.index_field(key_b, vals, D)
+                idx = jnp.repeat(jnp.repeat(idx, window, 0),
+                                 window, 1)[:lh, :lw]
+                vy = vals // (2 * R) - R
+                vx = vals % (2 * R) - R
+                vyx = jnp.stack([vy, vx]).astype(jnp.int32)
+                meta = jnp.stack([D, is_y, radius_t,
+                                  delta_scalar,
+                                  neighbor_bias_scalar]).astype(jnp.int32)
+                adj2 = flow_step.flow_step_pallas(
+                    stacks2, probe_st, off_x, off_y, idx, vyx, meta,
+                    lh=lh, lw=lw, s=1 << rs, rs=rs, Bl=_FLOW_BLOW,
+                    window=window, nb_enabled=nb_enabled, layers=layers,
+                    luma_shift=luma_shift)
+                return flow_step.flow_step_commit(adj2, off_x, off_y,
+                                                  is_y, window, lh, lw)
 
-        partial = delta + jnp.abs(probe).astype(jnp.uint32)  # offset bias
-        if nb_enabled:
-            # neighbor bias at +-2*window, clamped (cl:137-151)
-            nb = jnp.zeros((layers, lh, lw), jnp.uint32)
-            for axis in (1, 0):
-                for sign in (1, -1):
-                    n_off = _shift_clamped(prev_plane, sign * w2, axis)
-                    nb = nb + jnp.abs(n_off[None] - probe).astype(
-                        jnp.uint32)
-            partial = partial + (nb << neighbor_bias_scalar.astype(
-                jnp.uint32))
+            def xla_fallback(_):
+                return commit(gather_delta(None))
 
-        nwy, nwx = -(-lh // window), -(-lw // window)
-        if window > 1:
-            padded = jnp.zeros((layers, nwy * window, nwx * window),
-                               jnp.uint32)
-            padded = padded.at[:, :lh, :lw].set(partial)
-            sums = padded.reshape(layers, nwy, window, nwx, window).sum(
-                axis=(2, 4), dtype=jnp.uint32)
-        else:
-            sums = partial
-        invalid = (z >= radius_t)[:, None, None]
-        sums = jnp.where(invalid, jnp.uint32(0xFFFFFFFF), sums)
-        lowest = jnp.argmin(sums, axis=0).astype(jnp.int32)  # first min
-        rel2 = jnp.mod(lowest, radius_t) - radius_t // 2
-        adj2 = jnp.where(rel2 > 0, rel2 * rel2, -(rel2 * rel2))
-        if window > 1:
-            adj2 = jnp.repeat(jnp.repeat(adj2, window, 0),
-                              window, 1)[:lh, :lw]
-        off_x = off_x + adj2 * (1 - is_y)
-        off_y = off_y + adj2 * is_y
-        return off_x, off_y
+            return jax.lax.cond(ok, pallas_step, xla_fallback, None)
+
+        def shift_delta(_):
+            return _delta_layers_shift(geom, stacks, key_b, vals, D,
+                                       adj_flat * is_y,
+                                       adj_flat * (1 - is_y), layers,
+                                       (y2, u2, v2), luma_shift,
+                                       rep=window)
+
+        return commit(jax.lax.cond(ok, shift_delta, gather_delta, None))
 
     return branch
 
@@ -597,7 +631,7 @@ def _make_step_branch(geom: FlowGeometry, window: int, nb_enabled: bool,
 def _flow_impl_scan(geom: FlowGeometry, radius, luma_shift: int,
                     f1y, f1u, f1v, f2y, f2u, f2v,
                     delta_scalar, neighbor_bias_scalar, layers: int,
-                    sampling: str = "shift"):
+                    sampling: str = "shift", kernel: str = "xla"):
     """The pyramid as ONE lax.scan over (iteration, step) pairs: the HLO
     contains a single step body instead of 2*iterations unrolled copies,
     which cuts cold-start compile time by ~an order of magnitude (the
@@ -606,15 +640,27 @@ def _flow_impl_scan(geom: FlowGeometry, radius, luma_shift: int,
 
     sampling="shift" replaces the candidate gathers with the
     phase-decomposed sampler (the honest ~17x flow speedup; bit-exact,
-    per-step runtime gather fallback)."""
+    per-step runtime gather fallback).  kernel="pallas" further fuses
+    each step into one VMEM-resident Pallas kernel (TPU only;
+    ops/pallas/flow_step.py); same gather fallback, bit-exact."""
     lh, lw = geom.low_h, geom.low_w
     f2_probe = _subsampled_f2(geom, f2y, f2u, f2v)
     stacks = _phase_stacks(geom, f1y, f1u, f1v) \
-        if sampling == "shift" else None
+        if sampling in ("shift", "pallas") or kernel == "pallas" else None
+
+    stacks2 = probe_st = None
+    if kernel == "pallas" and stacks is not None \
+            and jax.default_backend() == "tpu":
+        from mpv_frame_interpolator_tpu.ops.pallas import flow_step
+        stacks2 = flow_step.pad_stacks_for_pallas(stacks, lh, lw,
+                                                  _FLOW_BLOW)
+        probe_t = jnp.int32 if luma_shift else jnp.int16
+        probe_st = jnp.stack(f2_probe).astype(probe_t)
 
     branches = tuple(
         _make_step_branch(geom, w, it >= FIRST_NEIGHBOR_ITERATION, layers,
-                          luma_shift, f1y, f1u, f1v, f2_probe, stacks)
+                          luma_shift, f1y, f1u, f1v, f2_probe, stacks,
+                          stacks2=stacks2, probe_st=probe_st)
         for it, w in enumerate(geom.window_schedule()))
     bidx, parities = [], []
     for it in range(len(branches)):
@@ -648,21 +694,27 @@ FLOW_PROGRAM = _os.environ.get("MFI_FLOW_PROGRAM", "scan")
 # "gather" (per-pixel; the round-1 design, still used by the unroll
 # program and as the in-program runtime fallback)
 FLOW_SAMPLING = _os.environ.get("MFI_FLOW_SAMPLING", "shift")
+# step kernel: "xla" (the scan-branch form) or "pallas" (whole step in
+# one VMEM-resident kernel, ops/pallas/flow_step.py; TPU only -- off-TPU
+# it demotes to the XLA form, same gating rationale as pallas_blur)
+FLOW_KERNEL = _os.environ.get("MFI_FLOW_KERNEL", "xla")
 
 
 def _flow_impl(geom: FlowGeometry, radius, luma_shift: int,
                f1y, f1u, f1v, f2y, f2u, f2v,
                delta_scalar, neighbor_bias_scalar,
                pallas_blur: bool = False, layers: int = None,
-               program: str = None, sampling: str = None):
+               program: str = None, sampling: str = None,
+               kernel: str = None):
     lh, lw = geom.low_h, geom.low_w
     program = program or FLOW_PROGRAM
     sampling = sampling or FLOW_SAMPLING
+    kernel = kernel or FLOW_KERNEL
 
     if program == "scan" and layers is not None:
         off_x, off_y = _flow_impl_scan(
             geom, radius, luma_shift, f1y, f1u, f1v, f2y, f2u, f2v,
-            delta_scalar, neighbor_bias_scalar, layers, sampling)
+            delta_scalar, neighbor_bias_scalar, layers, sampling, kernel)
     else:
         off_x = jnp.zeros((lh, lw), jnp.int32)
         off_y = jnp.zeros((lh, lw), jnp.int32)
