@@ -191,12 +191,35 @@ def _phase_stacks(geom: FlowGeometry, f1y, f1u, f1v):
     already folded in.  The three planes INTERLEAVE one stack so the
     sampler fetches a candidate's y+u+v with a single dynamic slice
     (per-op overhead, not bandwidth, bounds the sampling stage).
-    Returns None when the geometry is not phase-decomposable."""
+    Returns None when the geometry is not phase-decomposable.
+
+    Construction: the build cost is a material slice of the flow budget
+    (measured 7.9 of 13.7 ms/pair at 4K for the round-2 form), so the
+    default path assembles the mirror padding at LOW RES from flipped
+    phase planes (_phase_stacks_lowres) instead of mirror-remapping the
+    full-res plane (2.4x the source area at 4K) and space-to-depth
+    transposing the result.  Bit-identical
+    (tests/test_flow_stacks.py)."""
     rs, lh, lw = geom.res_scalar, geom.low_h, geom.low_w
     H, W = geom.height, geom.stride
     s = 1 << rs
     if lh << rs != H or lw << rs != W:
         return None
+    Bl = _FLOW_BLOW
+    if rs >= 1 and Bl <= lh and Bl <= lw:
+        return _phase_stacks_lowres(geom, f1y, f1u, f1v)
+    return _phase_stacks_remap(geom, f1y, f1u, f1v)
+
+
+def _phase_stacks_remap(geom: FlowGeometry, f1y, f1u, f1v):
+    """Round-2 construction: mirror-remap the full-res plane, then
+    space-to-depth into phases.  Kept as the general-geometry fallback
+    (rs == 0, or padding wider than the low-res field where a single
+    reflection no longer covers mirror_inside's clip) and as the
+    reference form for the equality test."""
+    rs, lh, lw = geom.res_scalar, geom.low_h, geom.low_w
+    H, W = geom.height, geom.stride
+    s = 1 << rs
     Bl = _FLOW_BLOW
     B = Bl << rs
 
@@ -213,6 +236,62 @@ def _phase_stacks(geom: FlowGeometry, f1y, f1u, f1v):
     return jnp.stack([lift_pad_phase(f1y, False),
                       lift_pad_phase(f1u, True),
                       lift_pad_phase(f1v, True)], axis=1)
+
+
+def _pad_phases_mirror(ph, Bl: int):
+    """(py, px, lh, lw) raw phase planes -> (py, px, lh+2Bl, lw+2Bl)
+    carrying the FULL-RES mirror_inside padding, assembled at low res.
+
+    Identity: for x = (c << rs) + p with c < 0 (and B <= H so a single
+    reflection lands inside), mirror_inside(x) = -x - 1
+    = ((-c - 1) << rs) + (s - 1 - p) -- i.e. the out-of-range rows of
+    phase p are FLIPPED in-range rows of phase s-1-p; the x >= H side
+    reflects to 2H-1-x with the same phase reversal.  So the padding is
+    pure static slice/flip/concat on the phase-reversed planes -- no
+    full-res intermediate, no gather."""
+    rev_y = jnp.flip(ph, 0)
+    top = jnp.flip(rev_y[:, :, :Bl, :], 2)
+    bot = jnp.flip(rev_y[:, :, -Bl:, :], 2)
+    rp = jnp.concatenate([top, ph, bot], axis=2)
+    rev_x = jnp.flip(rp, 1)
+    left = jnp.flip(rev_x[:, :, :, :Bl], 3)
+    right = jnp.flip(rev_x[:, :, :, -Bl:], 3)
+    return jnp.concatenate([left, rp, right], axis=3)
+
+
+def _phase_stacks_lowres(geom: FlowGeometry, f1y, f1u, f1v):
+    """Fast-path construction of the _phase_stacks layout (bit-identical
+    to _phase_stacks_remap; see _phase_stacks):
+
+      * split the raw plane into its (s, s) phase planes (ONE
+        space-to-depth of the unpadded source -- the remap form
+        transposed a 2.4x-padded plane);
+      * assemble the mirror padding from flipped LOW-RES rows/columns of
+        the phase-reversed planes (_pad_phases_mirror);
+      * chroma: lift-then-split == split the raw chroma plane at stride
+        s/2, where phases (py, px) and (py|1, px|1) coincide -- build
+        and pad the (s/2, s/2) distinct planes and 2x2-repeat along the
+        PHASE axes (a broadcast copy, vs repeating the full-res pixels
+        and transposing 4x the data)."""
+    rs, lh, lw = geom.res_scalar, geom.low_h, geom.low_w
+    H, W = geom.height, geom.stride
+    s = 1 << rs
+    Bl = _FLOW_BLOW
+    h = s // 2
+
+    yph = f1y[:H, :W].reshape(lh, s, lw, s).transpose(1, 3, 0, 2)
+    yp = _pad_phases_mirror(yph, Bl)
+
+    def chroma(plane):
+        cph = plane[:H // 2, :W // 2].reshape(lh, h, lw, h) \
+            .transpose(1, 3, 0, 2)
+        cp = _pad_phases_mirror(cph, Bl)
+        return jnp.repeat(jnp.repeat(cp, 2, axis=0), 2, axis=1)
+
+    PH, PW = lh + 2 * Bl, lw + 2 * Bl
+    return jnp.stack([yp.reshape(s * s, PH, PW),
+                      chroma(f1u).reshape(s * s, PH, PW),
+                      chroma(f1v).reshape(s * s, PH, PW)], axis=1)
 
 
 def _distinct_min_extract(key_flat, K: int):
@@ -574,6 +653,32 @@ def _make_step_branch(geom: FlowGeometry, window: int, nb_enabled: bool,
         if stacks is None:
             return commit(gather_delta(None))
 
+        if stacks2 is not None:
+            # SELF-CONTAINED pallas step: the kernel extracts the
+            # distinct table and evaluates the eligibility gates itself
+            # (the per-step XLA distinct/index/gate prep was most of
+            # the remaining flow cost once the step body moved
+            # on-chip); its `valid` output drives the same
+            # gather-fallback cond as the XLA path's `ok`.
+            from mpv_frame_interpolator_tpu.ops.pallas import flow_step
+            meta = jnp.stack([is_y, radius_t, delta_scalar,
+                              neighbor_bias_scalar]).astype(jnp.int32)
+            adj2, valid = flow_step.flow_step_pallas(
+                stacks2, probe_st, off_x, off_y, meta,
+                lh=lh, lw=lw, s=1 << rs, rs=rs, Bl=_FLOW_BLOW,
+                window=window, nb_enabled=nb_enabled, layers=layers,
+                luma_shift=luma_shift, K=_FLOW_K)
+
+            def pallas_commit(_):
+                return flow_step.flow_step_commit(adj2, off_x, off_y,
+                                                  is_y, window, lh, lw)
+
+            def xla_fallback(_):
+                return commit(gather_delta(None))
+
+            return jax.lax.cond(valid[0] > 0, pallas_commit,
+                                xla_fallback, None)
+
         # phase-decomposed candidate sampling over the distinct
         # committed offsets; gather fallback at runtime for wild fields
         key_b, vals, D, exceeded = _distinct_base_offsets(
@@ -588,33 +693,6 @@ def _make_step_branch(geom: FlowGeometry, window: int, nb_enabled: bool,
         ok = (~exceeded) & (mag + max_adj <= (_FLOW_BLOW << rs) - 1) \
             & (mag < (1 << 11))
         adj_flat = adj[:, 0, 0]
-
-        if stacks2 is not None:
-            from mpv_frame_interpolator_tpu.ops.pallas import flow_step
-
-            def pallas_step(_):
-                R = 1 << 11
-                idx = flow_step.index_field(key_b, vals, D)
-                idx = jnp.repeat(jnp.repeat(idx, window, 0),
-                                 window, 1)[:lh, :lw]
-                vy = vals // (2 * R) - R
-                vx = vals % (2 * R) - R
-                vyx = jnp.stack([vy, vx]).astype(jnp.int32)
-                meta = jnp.stack([D, is_y, radius_t,
-                                  delta_scalar,
-                                  neighbor_bias_scalar]).astype(jnp.int32)
-                adj2 = flow_step.flow_step_pallas(
-                    stacks2, probe_st, off_x, off_y, idx, vyx, meta,
-                    lh=lh, lw=lw, s=1 << rs, rs=rs, Bl=_FLOW_BLOW,
-                    window=window, nb_enabled=nb_enabled, layers=layers,
-                    luma_shift=luma_shift)
-                return flow_step.flow_step_commit(adj2, off_x, off_y,
-                                                  is_y, window, lh, lw)
-
-            def xla_fallback(_):
-                return commit(gather_delta(None))
-
-            return jax.lax.cond(ok, pallas_step, xla_fallback, None)
 
         def shift_delta(_):
             return _delta_layers_shift(geom, stacks, key_b, vals, D,

@@ -9,25 +9,33 @@ are small (4-8 MB) but the step runs 16x per pair, and the honest
 measurement says the per-step FIXED machinery -- not the candidate
 slicing -- is half the flow budget (tools/flow_breakdown.py).
 
-This kernel executes the whole step with everything resident in VMEM:
+This kernel executes the whole step SELF-CONTAINED with everything
+resident in VMEM:
 
-  * candidate fetch: per (distinct offset j, layer l), three async DMAs
-    (y/u/v planes) from the mirror-pre-padded phase stack in HBM (the
-    same stack the XLA shift sampler slices, flattened to 2D -- see
-    below) -- double-buffered so the VPU work hides the copies;
+  * distinct-pair extraction + the shift-path eligibility gates run
+    in-kernel over the resident committed field (the XLA form's
+    stride-window subsample existed to cut HBM traffic, which a
+    VMEM-resident field does not pay; same value set by
+    block-constancy, so vals/D/exceeded are bit-identical) -- the
+    kernel outputs a `valid` flag and the XLA cond takes the compiled
+    gather fallback when it is 0, exactly like the XLA shift path;
+  * candidate fetch: ONE rank-3 async DMA per (distinct offset j,
+    layer l) brings that candidate's y/u/v planes from the
+    mirror-pre-padded phase stack in HBM -- double-buffered so the VPU
+    work hides the copies;
   * DMA windows are aligned down to the (32, 128) memref tiling and the
     sub-tile residual is brought to the origin with two in-VMEM rotates
     (same trick as ops/pallas/warp_sample.py);
   * SAD deltas |y1-y2|+|u1-u2|+|v1-v2| accumulate into a (layers, lh,
-    lw) VMEM scratch, selected per distinct offset by a resident uint8
-    index field;
+    lw) VMEM scratch, selected per distinct offset by comparing the
+    resident key field against the offset's packed key;
   * the commit phase runs per ACTIVE layer (a dynamic fori_loop over
     the traced radius; masked layers are never touched, matching the
     XLA form's 0xFFFFFFFF masking): offset bias, neighbor bias (static
     clamped shifts of the committed field), window block sums, and a
     running first-minimum argmin -- all without touching HBM;
-  * the winner's signed-square adjustment is nearest-upsampled
-    (pltpu.repeat) and committed to the offset field.
+  * the winner's signed-square adjustment returns at BLOCK resolution
+    and the XLA side upsamples + commits it (flow_step_commit).
 
 Mosaic lowering constraints discovered on this toolchain (probe-tested;
 violating any of them crashes the remote compiler with an INTERNAL
@@ -124,29 +132,57 @@ def pad_stacks_for_pallas(stacks, lh: int, lw: int, Bl: int):
 
 def _make_kernel(lh: int, lw: int, s: int, rs: int, Bl: int,
                  window: int, nb_enabled: bool, layers: int,
-                 luma_shift: int, acc_dtype):
+                 luma_shift: int, acc_dtype, K: int):
     """Kernel body for one static (window, nb) pyramid-step branch."""
     m = s - 1
     w2 = 2 * window
     nwy, nwx = -(-lh // window), -(-lw // window)
     wr, wc = _win_dims(lh, lw)     # tile-aligned DMA window
+    R = 1 << 11                    # distinct-key pack radius
+    max_adj = (layers // 2) ** 2
 
-    def kernel(meta_ref, vyx_ref, probe_ref, offx_ref, offy_ref, idx_ref,
-               stacks_ref, adj_ref, cand, acc, bsum, sem):
-        D = meta_ref[0]
-        is_y = meta_ref[1]
-        radius = meta_ref[2]
-        ds = meta_ref[3]
-        nbs = meta_ref[4]
-        n_dma = D * radius
+    def kernel(meta_ref, probe_ref, offx_ref, offy_ref,
+               stacks_ref, adj_ref, valid_ref, cand, acc, bsum, vals_s,
+               sem):
+        is_y = meta_ref[0]
+        radius = meta_ref[1]
+        ds = meta_ref[2]
+        nbs = meta_ref[3]
+        BIG = jnp.int32(0x7FFFFFFF)
+
+        offx = offx_ref[:]
+        offy = offy_ref[:]
+
+        # ---- distinct-pair extraction, gates (all VMEM-resident; the
+        # XLA form subsampled to cut HBM cost, which a resident field
+        # does not pay -- the value SET is identical by the committed
+        # field's block-constancy, so vals/D/exceeded are bit-identical
+        # to ops/flow._distinct_base_offsets) ----
+        key = ((jnp.clip(offy, -R, R - 1) + R) * (2 * R)
+               + (jnp.clip(offx, -R, R - 1) + R))
+        max_key = jnp.max(key)
+        last = jnp.int32(-1)
+        D = jnp.int32(0)
+        for j_static in range(K):
+            nxt = jnp.min(jnp.where(key > last, key, BIG))
+            vals_s[j_static] = nxt
+            D = D + (nxt < BIG).astype(jnp.int32)
+            last = nxt
+        exceeded = max_key > last
+        mag = jnp.maximum(jnp.max(jnp.abs(offx)), jnp.max(jnp.abs(offy)))
+        valid = ((~exceeded) & (mag + max_adj <= (Bl << rs) - 1)
+                 & (mag < R))
+        valid_ref[0] = valid.astype(jnp.int32)
+        n_dma = jnp.where(valid, D * radius, 0)
 
         def dma_parts(t):
             j = t // radius
             l = t % radius
             rel = l - radius // 2          # l < radius always
             adj = _signed_square(rel)
-            oy = vyx_ref[0, j] + adj * is_y
-            ox = vyx_ref[1, j] + adj * (1 - is_y)
+            v = vals_s[j]
+            oy = (v // (2 * R) - R) + adj * is_y
+            ox = (v % (2 * R) - R) + adj * (1 - is_y)
             p = (oy & m) * s + (ox & m)
             sy = Bl + (oy >> rs)
             sx = Bl + (ox >> rs)
@@ -166,12 +202,13 @@ def _make_kernel(lh: int, lw: int, s: int, rs: int, Bl: int,
             get_dma(t, slot).start()
 
         acc[:] = jnp.zeros_like(acc)
-        idx32 = idx_ref[:].astype(jnp.int32)
         y2 = probe_ref[0].astype(jnp.int32)
         u2 = probe_ref[1].astype(jnp.int32)
         v2 = probe_ref[2].astype(jnp.int32)
 
-        start(0, 0)
+        @pl.when(n_dma > 0)
+        def _():
+            start(0, 0)
 
         def body(t, carry):
             slot = t % 2
@@ -190,14 +227,12 @@ def _make_kernel(lh: int, lw: int, s: int, rs: int, Bl: int,
                  + jnp.abs(v[1, :lh, :lw] - u2)
                  + jnp.abs(v[2, :lh, :lw] - v2)).astype(acc_dtype)
             prev = acc[pl.ds(l, 1)][0]
-            acc[pl.ds(l, 1)] = jnp.where(idx32 == j, d, prev)[None]
+            acc[pl.ds(l, 1)] = jnp.where(key == vals_s[j], d, prev)[None]
             return carry
 
         jax.lax.fori_loop(0, n_dma, body, 0)
 
         # ---- commit phase: bias + window sums + first-min argmin ----
-        offx = offx_ref[:]
-        offy = offy_ref[:]
         prev_plane = jnp.where(is_y == 1, offy, offx)
 
         if nb_enabled:
@@ -257,7 +292,8 @@ def _make_kernel(lh: int, lw: int, s: int, rs: int, Bl: int,
                     jnp.where(better, l, bidx))
 
         best0 = (big, jnp.zeros((nwy, nwx), jnp.int32))
-        _, bidx = jax.lax.fori_loop(0, radius, commit_body, best0)
+        _, bidx = jax.lax.fori_loop(0, jnp.where(valid, radius, 0),
+                                    commit_body, best0)
 
         # BLOCK-resolution adjustment; the nearest upsample + commit add
         # happen on the XLA side (pltpu.repeat TILES rather than
@@ -270,55 +306,68 @@ def _make_kernel(lh: int, lw: int, s: int, rs: int, Bl: int,
 
 @functools.partial(
     jax.jit, static_argnames=("lh", "lw", "s", "rs", "Bl", "window",
-                              "nb_enabled", "layers", "luma_shift",
+                              "nb_enabled", "layers", "luma_shift", "K",
                               "interpret"))
-def flow_step_pallas(stacks2, probe, off_x, off_y, idx_full, vyx, meta,
+def flow_step_pallas(stacks2, probe, off_x, off_y, meta,
                      lh: int, lw: int, s: int, rs: int, Bl: int,
                      window: int, nb_enabled: bool, layers: int,
-                     luma_shift: int, interpret: bool = None):
-    """One whole pyramid step; bit-exact with the XLA branch.
+                     luma_shift: int, K: int = 12,
+                     interpret: bool = None):
+    """One whole pyramid step, SELF-CONTAINED: the kernel extracts the
+    distinct-pair table, evaluates the shift-path eligibility gates,
+    samples, and commits -- the XLA side contributes only the fallback
+    cond and the block-adjustment upsample.
 
     stacks2   (s*s*3, PHp, PWp) flattened phase stack
               (pad_stacks_for_pallas)
     probe     (3, lh, lw) int16 (int32 when luma_shift) f2 probe samples
     off_x/y   (lh, lw) int32 committed field entering the step
-    idx_full  (lh, lw) uint8 distinct-table index per pixel
-    vyx       (2, K) int32 unpacked distinct (vy; vx) tables
-    meta      (5,) int32 [D, is_y, radius, delta_scalar, nb_scalar]
+    meta      (4,) int32 [is_y, radius, delta_scalar, nb_scalar]
+    K         distinct-pair budget (ops/flow._FLOW_K)
 
-    Returns the (nwy, nwx) BLOCK-level signed-square adjustment; the
-    caller nearest-upsamples it and commits to the stepped axis
-    (flow_step_commit).
+    Returns (adj2 (nwy, nwx) int32, valid (1,) int32).  When valid == 0
+    the field failed the shift-path gates (distinct count > K or
+    magnitude beyond the padding/pack bounds) and adj2 is meaningless --
+    the caller must take its gather fallback, exactly like the XLA
+    shift path's `ok` cond.  Otherwise commit via flow_step_commit.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     acc_dtype = jnp.int32 if luma_shift else jnp.int16
     wr, wc = _win_dims(lh, lw)
     kernel = _make_kernel(lh, lw, s, rs, Bl, window, nb_enabled, layers,
-                          luma_shift, acc_dtype)
+                          luma_shift, acc_dtype, K)
     nwy, nwx = -(-lh // window), -(-lw // window)
     return pl.pallas_call(
         kernel,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),     # meta
-            pl.BlockSpec(memory_space=pltpu.SMEM),     # vyx
             pl.BlockSpec(memory_space=pltpu.VMEM),     # probe
             pl.BlockSpec(memory_space=pltpu.VMEM),     # off_x
             pl.BlockSpec(memory_space=pltpu.VMEM),     # off_y
-            pl.BlockSpec(memory_space=pltpu.VMEM),     # idx_full
             pl.BlockSpec(memory_space=pltpu.HBM),      # stacks2
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nwy, nwx), jnp.int32),
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        out_shape=(jax.ShapeDtypeStruct((nwy, nwx), jnp.int32),
+                   jax.ShapeDtypeStruct((1,), jnp.int32)),
         scratch_shapes=[
             pltpu.VMEM((2, 3, wr, wc), stacks2.dtype),
             pltpu.VMEM((layers, lh, lw), acc_dtype),
             pltpu.VMEM((nwy * window, nwx * window), jnp.int32)
             if window > 1 else pltpu.VMEM((8, 128), jnp.int32),
+            pltpu.SMEM((K,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        # the default 16MB scoped-vmem budget is within 0.5% of this
+        # kernel's stack use at the 270x480 geometry (measured: a
+        # standalone jit of one step OOM'd by 76KB when XLA picked a
+        # different layout); raise it well clear -- scratch+stack is
+        # ~12MB against v5e's 128MB VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(meta, vyx, probe, off_x, off_y, idx_full, stacks2)
+    )(meta, probe, off_x, off_y, stacks2)
 
 
 def flow_step_commit(adj2, off_x, off_y, is_y, window: int,
@@ -332,17 +381,3 @@ def flow_step_commit(adj2, off_x, off_y, is_y, window: int,
     return off_x + adj2 * (1 - is_y), off_y + adj2 * is_y
 
 
-def index_field(key_b, vals, D):
-    """uint8 table-index field: idx[p] = j where key_b[p] == vals[j]
-    (XLA side; mirrors ops/warp._index_field without importing warp --
-    flow must not depend on warp)."""
-    def cond(c):
-        return c[1] < D
-
-    def body(c):
-        idx, j = c
-        return jnp.where(key_b == vals[j], j.astype(jnp.uint8), idx), j + 1
-
-    idx0 = jnp.full(key_b.shape, 255, jnp.uint8)
-    idx, _ = jax.lax.while_loop(cond, body, (idx0, jnp.int32(0)))
-    return idx

@@ -175,6 +175,17 @@ class EngineConfig:
     #              ops/pallas/warp_sample.py; TPU only -- demoted to
     #              "shift" semantics on other backends)
     warp_sampling: str = "shift"
+    # flow pyramid-step kernel:
+    #   "xla"    = the scan-branch form (shift-decomposed sampling +
+    #              reshape block sums as separate XLA ops)
+    #   "pallas" = one self-contained VMEM-resident kernel per step
+    #              (ops/pallas/flow_step.py: in-kernel distinct
+    #              extraction, double-buffered candidate DMA, bias/
+    #              window-sum/argmin without HBM intermediates; TPU
+    #              only -- demoted to "xla" on other backends), with
+    #              the same runtime gather fallback.  Bit-exact.
+    # Default from MFI_FLOW_KERNEL (ops/flow.FLOW_KERNEL).
+    flow_kernel: str = _os_env.get("MFI_FLOW_KERNEL", "xla")
     # compiled flow LAYER-count variants.  The search radius is traced, so
     # radius changes inside a bucket never recompile -- but round 2 kept a
     # single MAX_SEARCH_RADIUS(16)-layer program, so the quality
@@ -218,6 +229,8 @@ class EngineConfig:
             raise ValueError("warp_loop must be vmap|scan")
         if self.warp_sampling not in ("shift", "gather", "pallas"):
             raise ValueError("warp_sampling must be shift|gather|pallas")
+        if self.flow_kernel not in ("xla", "pallas"):
+            raise ValueError("flow_kernel must be xla|pallas")
         if self.timing_source not in ("block", "amortized"):
             raise ValueError("timing_source must be block|amortized")
         if self.timing_sync_period < 1:
@@ -286,7 +299,8 @@ class _DeviceFrame:
 
 def _flow_stage(geom, scale_shift, scene_enabled, model, pallas_blur,
                 f1y, f1u, f1v, f2y, f2u, f2v, radius, ds, nbs,
-                scene_threshold, subpel: bool = False, layers: int = None):
+                scene_threshold, subpel: bool = False, layers: int = None,
+                flow_kernel: str = None):
     """Traced flow half of a source pair: scene score + hierarchical flow.
     Returns (blurred flow, frac or None, cut_score).  `frac` is the
     1/64-pel refinement field when subpel_flow is enabled for a bilinear
@@ -309,7 +323,8 @@ def _flow_stage(geom, scale_shift, scene_enabled, model, pallas_blur,
         offset, blurred = _flow_impl(geom, radius, scale_shift,
                                      f1y, f1u, f1v, f2y, f2u, f2v,
                                      ds, nbs, layers=layers,
-                                     pallas_blur=pallas_blur)
+                                     pallas_blur=pallas_blur,
+                                     kernel=flow_kernel)
         if subpel:
             # refine the UNBLURRED committed flow -- that's the SAD argmin
             # where a 3x3 quadratic fit is meaningful -- then blur the
@@ -420,7 +435,7 @@ def _make_source_step(geom: FlowGeometry, mode: int,
                       scene_enabled: bool, model: str = "hopper",
                       pallas_blur: bool = False, warp_loop: str = "vmap",
                       subpel: bool = False, warp_sampling: str = "shift",
-                      layers: int = None):
+                      layers: int = None, flow_kernel: str = None):
     """ONE fused device dispatch per source pair: scene-cut score ->
     hierarchical flow -> N batched warps -> NV12 re-interleave.
 
@@ -439,7 +454,7 @@ def _make_source_step(geom: FlowGeometry, mode: int,
         blurred, frac, cut_score = _flow_stage(
             geom, scale_shift, scene_enabled, model, pallas_blur,
             f1y, f1u, f1v, f2y, f2u, f2v, radius, ds, nbs, scene_threshold,
-            subpel, layers)
+            subpel, layers, flow_kernel)
         y, uv = _warp_stage(
             geom, mode, scale_shift, cut_policy, scene_enabled, model,
             f1y, f1u, f1v, f2y, f2u, f2v, blurred, cut_score, ts,
@@ -452,7 +467,8 @@ def _make_source_step(geom: FlowGeometry, mode: int,
 @functools.lru_cache(maxsize=32)
 def _make_flow_step(geom: FlowGeometry, scale_shift: int,
                     scene_enabled: bool, model: str, pallas_blur: bool,
-                    subpel: bool = False, layers: int = None):
+                    subpel: bool = False, layers: int = None,
+                    flow_kernel: str = None):
     """Flow-only program for split-timing (opticalFlowCalc.c:111-122
     OFC-event analog).  Same traced code as the fused step's first half.
     Returns (blurred, frac-or-None, cut_score)."""
@@ -462,7 +478,7 @@ def _make_flow_step(geom: FlowGeometry, scale_shift: int,
         return _flow_stage(geom, scale_shift, scene_enabled, model,
                            pallas_blur, f1y, f1u, f1v, f2y, f2u, f2v,
                            radius, ds, nbs, scene_threshold, subpel,
-                           layers)
+                           layers, flow_kernel)
     return jax.jit(step)
 
 
@@ -599,7 +615,8 @@ class InterpolationEngine:
                                  self.config.pallas_blur,
                                  self.config.warp_loop,
                                  self.config.subpel_flow,
-                                 self.config.warp_sampling, layers)
+                                 self.config.warp_sampling, layers,
+                                 self.config.flow_kernel)
         warmed = 0
         if self.config.batch_shapes == "bucket":
             sizes = {_bucket_size(n) for n in sizes}
@@ -798,7 +815,8 @@ class InterpolationEngine:
                 self.config.cut_policy, self.scene.enabled,
                 self.config.model, self.config.pallas_blur,
                 self.config.warp_loop, self.config.subpel_flow,
-                self.config.warp_sampling, layers)
+                self.config.warp_sampling, layers,
+                self.config.flow_kernel)
             y, uv, blurred, cut_score = step(*args, ts, *knobs, *levels,
                                              thr)
             dur = None
@@ -886,7 +904,8 @@ class InterpolationEngine:
                                   self.config.pallas_blur,
                                   self.config.subpel_flow,
                                   self._layers_for(
-                                      self.quality.search_radius))
+                                      self.quality.search_radius),
+                                  self.config.flow_kernel)
         warp_fn = _make_warp_step(self.geom, self.frame_output_mode,
                                   self._scale_shift, self.config.cut_policy,
                                   self.scene.enabled, self.config.model,

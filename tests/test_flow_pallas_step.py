@@ -60,26 +60,18 @@ def _run(seed, window, nb, radius, layers, D, luma_shift=0):
                                  *f1, f2_probe, stacks)
     ox_ref, oy_ref = jax.jit(branch)(off_x, off_y, is_y, radius_t, ds, nbs)
 
-    # replicate the XLA-side prep of the pallas branch
-    key_b, vals, Dv, exceeded = F._distinct_base_offsets(
-        off_y, off_x, F._FLOW_K, stride=window)
-    # the comparison is only meaningful inside the ok gate (outside it
-    # BOTH paths take the same gather fallback)
-    assert not bool(exceeded)
-    idx = FS.index_field(key_b, vals, Dv)
-    idx = jnp.repeat(jnp.repeat(idx, window, 0), window, 1)[:lh, :lw]
-    R = 1 << 11
-    vyx = jnp.stack([vals // (2 * R) - R,
-                     vals % (2 * R) - R]).astype(jnp.int32)
-    meta = jnp.stack([Dv, is_y, radius_t, ds, nbs]).astype(jnp.int32)
+    meta = jnp.stack([is_y, radius_t, ds, nbs]).astype(jnp.int32)
     stacks2 = FS.pad_stacks_for_pallas(stacks, lh, lw, F._FLOW_BLOW)
     probe_t = jnp.int32 if luma_shift else jnp.int16
     probe_st = jnp.stack(f2_probe).astype(probe_t)
-    adj2 = FS.flow_step_pallas(
-        stacks2, probe_st, off_x, off_y, idx, vyx, meta,
+    adj2, valid = FS.flow_step_pallas(
+        stacks2, probe_st, off_x, off_y, meta,
         lh=lh, lw=lw, s=1 << rs, rs=rs, Bl=F._FLOW_BLOW,
         window=window, nb_enabled=nb, layers=layers,
-        luma_shift=luma_shift, interpret=True)
+        luma_shift=luma_shift, K=F._FLOW_K, interpret=True)
+    # the comparison is only meaningful inside the eligibility gates
+    # (outside them BOTH paths take the same gather fallback)
+    assert int(valid[0]) == 1
     ox_p, oy_p = FS.flow_step_commit(adj2, off_x, off_y, is_y, window,
                                      lh, lw)
 
@@ -114,3 +106,27 @@ def test_many_distinct_values():
 def test_p010_luma_shift():
     _run(seed=7, window=4, nb=True, radius=16, layers=16, D=5,
          luma_shift=8)
+
+
+def test_exceeding_field_reports_invalid():
+    """A field with more distinct pairs than the K budget must come back
+    valid=0 (the production cond then takes the gather fallback)."""
+    geom, f1, f2, rng = _case(11)
+    lh, lw, rs = geom.low_h, geom.low_w, geom.res_scalar
+    f2_probe = F._subsampled_f2(geom, *f2)
+    stacks = F._phase_stacks(geom, *f1)
+    off_x, off_y = _fields(rng, lh, lw, F._FLOW_K + 8, 1)
+    meta = jnp.stack([jnp.int32(0), jnp.int32(16), jnp.int32(8),
+                      jnp.int32(6)]).astype(jnp.int32)
+    stacks2 = FS.pad_stacks_for_pallas(stacks, lh, lw, F._FLOW_BLOW)
+    probe_st = jnp.stack(f2_probe).astype(jnp.int16)
+    _, valid = FS.flow_step_pallas(
+        stacks2, probe_st, off_x, off_y, meta,
+        lh=lh, lw=lw, s=1 << rs, rs=rs, Bl=F._FLOW_BLOW,
+        window=2, nb_enabled=True, layers=16, luma_shift=0,
+        K=F._FLOW_K, interpret=True)
+    # _fields draws with replacement, so assert against the actual count
+    pairs = len(set(zip(np.asarray(off_y).ravel().tolist(),
+                        np.asarray(off_x).ravel().tolist())))
+    assert (int(valid[0]) == 0) == (pairs > F._FLOW_K)
+    assert pairs > F._FLOW_K   # seed chosen so the budget is exceeded

@@ -17,6 +17,20 @@ from mpv_frame_interpolator_tpu.pipeline.engine import (
 from conftest import frame_pair, planar
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_compile_state():
+    """Drop every accumulated compiled executable before this module's
+    big sharded compiles: XLA:CPU's codegen segfaults this host's LLVM
+    deterministically at test_parallel when ~300 programs have
+    accumulated in-process (backend_compile_and_load; NOT reproducible
+    with a short prefix -- the module alone passes), even with
+    --xla_cpu_parallel_codegen_split_count=1.  Clearing the caches
+    releases the prior executables' JIT state at the cost of a few
+    small-program recompiles later in the suite."""
+    jax.clear_caches()
+    yield
+
+
 class TestLayerShardedFlow:
     def test_matches_single_device(self, small_cfg):
         assert len(jax.devices()) == 8
