@@ -772,10 +772,13 @@ FLOW_PROGRAM = _os.environ.get("MFI_FLOW_PROGRAM", "scan")
 # "gather" (per-pixel; the round-1 design, still used by the unroll
 # program and as the in-program runtime fallback)
 FLOW_SAMPLING = _os.environ.get("MFI_FLOW_SAMPLING", "shift")
-# step kernel: "xla" (the scan-branch form) or "pallas" (whole step in
-# one VMEM-resident kernel, ops/pallas/flow_step.py; TPU only -- off-TPU
-# it demotes to the XLA form, same gating rationale as pallas_blur)
-FLOW_KERNEL = _os.environ.get("MFI_FLOW_KERNEL", "xla")
+# step kernel: "pallas" (whole step in one VMEM-resident kernel,
+# ops/pallas/flow_step.py; TPU only -- off-TPU it demotes to the XLA
+# form, same gating rationale as pallas_blur) or "xla" (the scan-branch
+# form).  Default pallas: measured bit-exact on pan/noise at radius
+# 16/5 on both 4K and 8K, and faster (4K flow pair 10.1 vs 14.2 ms, 8K
+# 18.7 vs 21.4 after the low-res stack assembly).
+FLOW_KERNEL = _os.environ.get("MFI_FLOW_KERNEL", "pallas")
 
 
 def _flow_impl(geom: FlowGeometry, radius, luma_shift: int,

@@ -294,7 +294,7 @@ _FLOW_PACK = 2048      # flow-value pack radius for the per-pair tables
 
 
 def _sampler_prep(geom, fields, f1y, f1u, f1v, f2y, f2u, f2v,
-                  bilinear: bool = False):
+                  bilinear: bool = False, fused: bool = False):
     """The t-INDEPENDENT half of the shift-decomposed sampler, computed
     once per source pair: mirror-padded sources and the distinct LOW-RES
     FLOW value tables.  Every blend position then derives its
@@ -356,29 +356,64 @@ def _sampler_prep(geom, fields, f1y, f1u, f1v, f2y, f2u, f2v,
                           _mirror_padded(v[:, :wc], B, hc, wc)])
 
     cp = cpad2_half if bilinear else cpad2
-    return {"p1": p1, "p2": p2, "c1": cp(f1u, f1v), "c2": cp(f2u, f2v),
-            "t12": unpack(v12, D12), "t21": unpack(v21, D21), "ok": ok}
+
+    # t-INDEPENDENT index fields: the per-pixel table index is the index
+    # of the pixel's distinct FLOW value, and d(p) = iround(flow(p) * s)
+    # maps table entry j to its displacement pixel-independently -- so
+    # ONE index field (per direction, luma + chroma grids) serves every
+    # blend position, with only the (K,) value tables re-derived per t.
+    # Round 3 rebuilt these fields per OUTPUT (4 index builds + 4
+    # full-res nearest upsamples per t), which was most of the honest
+    # per-output warp cost once the sampling itself was shift-decomposed
+    # (tools/warp_breakdown.py: 2.2 ms marginal per output at 4K on
+    # D=1 content -- fixed machinery, not sampling).
+    if12_lo = _index_field(pack_flow(oy12l, ox12l), v12, D12)
+    if21_lo = _index_field(pack_flow(oy21l, ox21l), v21, D21)
+    c1, c2 = cp(f1u, f1v), cp(f2u, f2v)
+    prep = {"p1": p1, "p2": p2, "c1": c1, "c2": c2,
+            "t12": unpack(v12, D12), "t21": unpack(v21, D21),
+            "D12": D12, "D21": D21,
+            "IF12lo": if12_lo, "IF21lo": if21_lo,
+            "IF12": _upsample_y(geom, if12_lo),
+            "IF21": _upsample_y(geom, if21_lo),
+            "IF12c": _upsample_uv(geom, if12_lo)[:, 0::2],
+            "IF21c": _upsample_uv(geom, if21_lo)[:, 0::2],
+            "ok": ok}
+    if fused:
+        # fused-kernel prep (ops/pallas/warp_fused.py): tile-grid
+        # over-padded sources, tile-grid 255-padded index fields
+        # (interleaved-uv domain for chroma -- the un-sliced
+        # _upsample_uv field IS the interleaved index, u at even
+        # columns / v at odd), and per-tile presence bitmasks.  All
+        # t-independent, once per pair.
+        from mpv_frame_interpolator_tpu.ops.pallas import warp_fused as WF
+        rs = geom.res_scalar
+        nty, ntx = WF.luma_grid(H, Wa)
+        ntyc, ntxc = WF.chroma_grid(hc, Wa)
+        prep.update({
+            "P1T": WF.pad_source_luma(p1, H, Wa),
+            "P2T": WF.pad_source_luma(p2, H, Wa),
+            "C1T": WF.pad_source_chroma(c1, hc, Wa),
+            "C2T": WF.pad_source_chroma(c2, hc, Wa),
+            "IT12": WF.pad_index(prep["IF12"], nty * WF.TILE_Y,
+                                 ntx * WF.TILE_Y),
+            "IT21": WF.pad_index(prep["IF21"], nty * WF.TILE_Y,
+                                 ntx * WF.TILE_Y),
+            "ITC12": WF.pad_index(_upsample_uv(geom, if12_lo),
+                                  ntyc * WF.TILE_CR, ntxc * WF.TILE_CC),
+            "ITC21": WF.pad_index(_upsample_uv(geom, if21_lo),
+                                  ntyc * WF.TILE_CR, ntxc * WF.TILE_CC),
+            "M12": WF.luma_masks(if12_lo, H, Wa, rs),
+            "M21": WF.luma_masks(if21_lo, H, Wa, rs),
+            "MC12": WF.chroma_masks(if12_lo, hc, Wa, rs),
+            "MC21": WF.chroma_masks(if21_lo, hc, Wa, rs),
+        })
+    return prep
 
 
 _BIG32 = jnp.int32(0x7FFFFFFF)
 _C64 = 1 << 14     # 1/64-pel displacement pack center (|d64| <= 64*_ROLL_B)
 
-
-def _derive_disp_table64(table, y_scale, x_scale):
-    """(K,) 1/64-pel displacement KEYS for the bilinear families:
-    d64 = (iround(vy*y_scale), iround(vx*x_scale)) over the distinct flow
-    values (y_scale/x_scale carry the *64 or *32 fixed-point factor),
-    deduped and BIG-padded.  Key layout: (d64y+2^14) << 15 | (d64x+2^14)."""
-    vy, vx, good = table
-    dy = jnp.clip(_iround(vy * y_scale), -_C64 + 1, _C64 - 2)
-    dx = jnp.clip(_iround(vx * x_scale), -_C64 + 1, _C64 - 2)
-    key = ((dy + _C64) << 15) | (dx + _C64)
-    key = jnp.where(good, key, _BIG32)
-    ks = jnp.sort(key)
-    dup = jnp.concatenate([jnp.zeros((1,), bool), ks[1:] == ks[:-1]])
-    ks = jnp.sort(jnp.where(dup, _BIG32, ks))
-    D = jnp.sum((ks < _BIG32).astype(jnp.int32))
-    return ks, D
 
 
 def _bilinear_shift_sample(padded, idx64, vals64, D, out_h: int,
@@ -431,24 +466,6 @@ def _bilinear_shift_sample(padded, idx64, vals64, D, out_h: int,
     return acc
 
 
-def _derive_disp_table(table, y_scale, x_scale):
-    """(K,) displacement KEYS for one direction/plane at one blend
-    position: d = (iround(vy*y_scale), iround(vx*x_scale)) over the
-    distinct flow values, deduped (rounding collapses neighbors) and
-    BIG-padded.  Two 96-element sorts -- table work, not field work."""
-    B = _ROLL_B
-    SPAN = 2 * B + 2
-    vy, vx, good = table
-    dy = jnp.clip(_iround(vy * y_scale), -B, B)
-    dx = jnp.clip(_iround(vx * x_scale), -B, B)
-    key = (dy + B) * SPAN + (dx + B)
-    key = jnp.where(good, key, _BIG32)
-    ks = jnp.sort(key)
-    dup = jnp.concatenate([jnp.zeros((1,), bool), ks[1:] == ks[:-1]])
-    ks = jnp.sort(jnp.where(dup, _BIG32, ks))      # dups -> BIG -> tail
-    D = jnp.sum((ks < _BIG32).astype(jnp.int32))
-    return ks, D
-
 
 def _bilinear_all_planes(geom, fields, f1y, f1u, f1v, f2y, f2u, f2v,
                          fs12, fs21):
@@ -464,43 +481,32 @@ def _bilinear_all_planes(geom, fields, f1y, f1u, f1v, f2y, f2u, f2v,
         prep = _sampler_prep(geom, fields, f1y, f1u, f1v, f2y, f2u, f2v,
                              bilinear=True)
 
-    ox12l = fields["OX12l"].astype(jnp.float32)
-    oy12l = fields["OY12l"].astype(jnp.float32)
-    ox21l = fields["OX21l"].astype(jnp.float32)
-    oy21l = fields["OY21l"].astype(jnp.float32)
+    # per-t 1/64-pel displacement VALUE tables over the per-pair flow
+    # tables; the t-independent flow-INDEX fields come from prep (same
+    # hoist as _sample_all_planes -- entry j's displacement is scalar
+    # math on the flow value, so no per-t index rebuild/upsample/dedup)
+    def disp_table64(table, y_scale, x_scale):
+        vy, vx, good = table
+        dy = jnp.clip(_iround(vy * y_scale), -_C64 + 1, _C64 - 2)
+        dx = jnp.clip(_iround(vx * x_scale), -_C64 + 1, _C64 - 2)
+        return jnp.where(good, ((dy + _C64) << 15) | (dx + _C64), _BIG32)
 
-    def pack64(dy, dx):
-        dy = jnp.clip(dy, -_C64 + 1, _C64 - 2)
-        dx = jnp.clip(dx, -_C64 + 1, _C64 - 2)
-        return ((dy + _C64) << 15) | (dx + _C64)
-
-    # low-res 1/64-pel displacements (iround commutes with the nearest
-    # upsample, so these are exactly the per-pixel values)
-    k12 = pack64(_iround(oy12l * (fs12 * 64)), _iround(ox12l * (fs12 * 64)))
-    k21 = pack64(-_iround(oy21l * (fs21 * 64)),
-                 -_iround(ox21l * (fs21 * 64)))
-    kc12 = pack64(_iround(oy12l * (fs12 * 32)),
-                  _iround(ox12l * (fs12 * 32)))
-    kc21 = pack64(-_iround(oy21l * (fs21 * 32)),
-                  -_iround(ox21l * (fs21 * 32)))
-    v12, D12 = _derive_disp_table64(prep["t12"], fs12 * 64, fs12 * 64)
-    v21, D21 = _derive_disp_table64(prep["t21"], -fs21 * 64, -fs21 * 64)
-    v12c, D12c = _derive_disp_table64(prep["t12"], fs12 * 32, fs12 * 32)
-    v21c, D21c = _derive_disp_table64(prep["t21"], -fs21 * 32, -fs21 * 32)
-
-    i12 = _upsample_y(geom, _index_field(k12, v12, D12))
-    i21 = _upsample_y(geom, _index_field(k21, v21, D21))
+    v12 = disp_table64(prep["t12"], fs12 * 64, fs12 * 64)
+    v21 = disp_table64(prep["t21"], -fs21 * 64, -fs21 * 64)
+    v12c = disp_table64(prep["t12"], fs12 * 32, fs12 * 32)
+    v21c = disp_table64(prep["t21"], -fs21 * 32, -fs21 * 32)
+    D12, D21 = prep["D12"], prep["D21"]
+    i12, i21 = prep["IF12"], prep["IF21"]
     # u and v share their chroma coordinate (_upsample_uv doubles
     # columns), so one parity slice keys both
-    i12c = _upsample_uv(geom, _index_field(kc12, v12c, D12c))[:, 0::2]
-    i21c = _upsample_uv(geom, _index_field(kc21, v21c, D21c))[:, 0::2]
+    i12c, i21c = prep["IF12c"], prep["IF21c"]
 
     def shift_branch(_):
         s12q = _bilinear_shift_sample(prep["p1"], i12, v12, D12, H, Wa)
         s21q = _bilinear_shift_sample(prep["p2"], i21, v21, D21, H, Wa)
-        cu12 = _bilinear_shift_sample(prep["c1"], i12c, v12c, D12c,
+        cu12 = _bilinear_shift_sample(prep["c1"], i12c, v12c, D12,
                                       hc, wc)
-        cu21 = _bilinear_shift_sample(prep["c2"], i21c, v21c, D21c,
+        cu21 = _bilinear_shift_sample(prep["c2"], i21c, v21c, D21,
                                       hc, wc)
         return s12q, s21q, cu12, cu21
 
@@ -552,44 +558,27 @@ def _sample_all_planes(geom, fields, f1y, f1u, f1v, f2y, f2u, f2v,
     if prep is None:
         prep = _sampler_prep(geom, fields, f1y, f1u, f1v, f2y, f2u, f2v)
 
-    ox12l = fields["OX12l"].astype(jnp.float32)
-    oy12l = fields["OY12l"].astype(jnp.float32)
-    ox21l = fields["OX21l"].astype(jnp.float32)
-    oy21l = fields["OY21l"].astype(jnp.float32)
+    # per-position displacement VALUE tables from the per-pair flow
+    # tables: iround(v * s) with s = +-fs (the 21-direction negation
+    # folds into the scale; round-half-away is odd, so iround(v*-s) ==
+    # -iround(v*s)).  The INDEX fields are t-independent (prep["IF*"]):
+    # pixel p carries the index of its distinct FLOW value, and entry j
+    # maps to its per-t displacement by scalar math -- no dedup (two
+    # entries may share a displacement; both select the same samples),
+    # no per-t index rebuild, no per-t upsample.
+    def disp_table(table, y_scale, x_scale):
+        vy, vx, good = table
+        dy = jnp.clip(_iround(vy * y_scale), -B, B)
+        dx = jnp.clip(_iround(vx * x_scale), -B, B)
+        return jnp.where(good, (dy + B) * SPAN + (dx + B), _BIG32)
 
-    # low-res integer displacements: exactly the values the full-res index
-    # math produces (iround of a nearest-upsampled field == nearest
-    # upsample of iround at low res)
-    d12x, d12y = _iround(ox12l * fs12), _iround(oy12l * fs12)
-    d21x, d21y = -_iround(ox21l * fs21), -_iround(oy21l * fs21)
-    # chroma pass: x displacement in full-width units, y in chroma rows
-    # (warpFrameKernel.cl:171-176 NV12 addressing)
-    c12x, c12y = d12x, _iround(oy12l * (fs12 * 0.5))
-    c21x, c21y = d21x, -_iround(oy21l * (fs21 * 0.5))
-
-    def clip(x):
-        return jnp.clip(x, -B, B)
-
-    def pack(dy, dx):
-        return (clip(dy) + B) * SPAN + (clip(dx) + B)
-
-    # per-position displacement tables from the per-pair flow tables:
-    # iround(v * s) with s = +-fs (the 21-direction negation folds into
-    # the scale; round-half-away is odd, so iround(v*-s) == -iround(v*s))
-    v12, D12 = _derive_disp_table(prep["t12"], fs12, fs12)
-    v21, D21 = _derive_disp_table(prep["t21"], -fs21, -fs21)
-    v12c, D12c = _derive_disp_table(prep["t12"], fs12 * 0.5, fs12)
-    v21c, D21c = _derive_disp_table(prep["t21"], -fs21 * 0.5, -fs21)
-
-    # low-res index lookup, then nearest-upsampled as ONE BYTE per pixel
-    i12lo = _index_field(pack(d12y, d12x), v12, D12)
-    i21lo = _index_field(pack(d21y, d21x), v21, D21)
-    i12f = _upsample_y(geom, i12lo)
-    i21f = _upsample_y(geom, i21lo)
-    i12cf = _upsample_uv(geom, _index_field(pack(c12y, c12x),
-                                            v12c, D12c))[:, 0::2]
-    i21cf = _upsample_uv(geom, _index_field(pack(c21y, c21x),
-                                            v21c, D21c))[:, 0::2]
+    v12 = disp_table(prep["t12"], fs12, fs12)
+    v21 = disp_table(prep["t21"], -fs21, -fs21)
+    v12c = disp_table(prep["t12"], fs12 * 0.5, fs12)
+    v21c = disp_table(prep["t21"], -fs21 * 0.5, -fs21)
+    D12, D21 = prep["D12"], prep["D21"]
+    i12f, i21f = prep["IF12"], prep["IF21"]
+    i12cf, i21cf = prep["IF12c"], prep["IF21c"]
 
     ok = prep["ok"]
 
@@ -601,18 +590,18 @@ def _sample_all_planes(geom, fields, f1y, f1u, f1v, f2y, f2u, f2v,
             from mpv_frame_interpolator_tpu.ops.pallas.warp_sample import (
                 shift_sample_pallas)
             rs = geom.res_scalar
-            s12 = shift_sample_pallas(prep["p1"], i12f, i12lo, v12, D12,
-                                      H, Wa, rs)
-            s21 = shift_sample_pallas(prep["p2"], i21f, i21lo, v21, D21,
-                                      H, Wa, rs)
+            s12 = shift_sample_pallas(prep["p1"], i12f, prep["IF12lo"],
+                                      v12, D12, H, Wa, rs)
+            s21 = shift_sample_pallas(prep["p2"], i21f, prep["IF21lo"],
+                                      v21, D21, H, Wa, rs)
         else:
             s12 = _shift_sample(prep["p1"], i12f, v12, D12, H, Wa,
                                 f1y.dtype)
             s21 = _shift_sample(prep["p2"], i21f, v21, D21, H, Wa,
                                 f2y.dtype)
-        su12, sv12 = _shift_sample_uv(prep["c1"], i12cf, v12c, D12c,
+        su12, sv12 = _shift_sample_uv(prep["c1"], i12cf, v12c, D12,
                                       hc, wc, f1u.dtype)
-        su21, sv21 = _shift_sample_uv(prep["c2"], i21cf, v21c, D21c,
+        su21, sv21 = _shift_sample_uv(prep["c2"], i21cf, v21c, D21,
                                       hc, wc, f2u.dtype)
         return s12, s21, su12, su21, sv12, sv21
 

@@ -176,16 +176,18 @@ class EngineConfig:
     #              "shift" semantics on other backends)
     warp_sampling: str = "shift"
     # flow pyramid-step kernel:
-    #   "xla"    = the scan-branch form (shift-decomposed sampling +
-    #              reshape block sums as separate XLA ops)
     #   "pallas" = one self-contained VMEM-resident kernel per step
     #              (ops/pallas/flow_step.py: in-kernel distinct
     #              extraction, double-buffered candidate DMA, bias/
     #              window-sum/argmin without HBM intermediates; TPU
     #              only -- demoted to "xla" on other backends), with
-    #              the same runtime gather fallback.  Bit-exact.
+    #              the same runtime gather fallback.  Bit-exact, and
+    #              the measured default (4K flow pair 10.1 vs 14.2 ms,
+    #              8K 18.7 vs 21.4).
+    #   "xla"    = the scan-branch form (shift-decomposed sampling +
+    #              reshape block sums as separate XLA ops)
     # Default from MFI_FLOW_KERNEL (ops/flow.FLOW_KERNEL).
-    flow_kernel: str = _os_env.get("MFI_FLOW_KERNEL", "xla")
+    flow_kernel: str = _os_env.get("MFI_FLOW_KERNEL", "pallas")
     # compiled flow LAYER-count variants.  The search radius is traced, so
     # radius changes inside a bucket never recompile -- but round 2 kept a
     # single MAX_SEARCH_RADIUS(16)-layer program, so the quality
@@ -227,8 +229,10 @@ class EngineConfig:
             raise ValueError("batch_shapes must be exact|bucket")
         if self.warp_loop not in ("vmap", "scan"):
             raise ValueError("warp_loop must be vmap|scan")
-        if self.warp_sampling not in ("shift", "gather", "pallas"):
-            raise ValueError("warp_sampling must be shift|gather|pallas")
+        if self.warp_sampling not in ("shift", "gather", "pallas",
+                                      "fused"):
+            raise ValueError(
+                "warp_sampling must be shift|gather|pallas|fused")
         if self.flow_kernel not in ("xla", "pallas"):
             raise ValueError("flow_kernel must be xla|pallas")
         if self.timing_source not in ("block", "amortized"):
@@ -389,8 +393,18 @@ def _warp_stage(geom, mode, scale_shift, cut_policy, scene_enabled, model,
         ts_w = jnp.where(ts_w >= 0.5, 1.0, 0.0).astype(jnp.float32)
 
     bilinear = model in ("hopperq", "hopperxq")
-    shiftlike = warp_sampling in ("shift", "pallas")
+    shiftlike = warp_sampling in ("shift", "pallas", "fused")
     shift_active = (shiftlike and not bilinear and mode in (0, 1, 2, 3))
+    # fused whole-output kernel (ops/pallas/warp_fused.py): blended
+    # mode, nearest families, no occlusion pass, integer flow, TPU.
+    # Everything else demotes to the shift path; non-default levels
+    # and wild fields take the XLA branch of the runtime cond below.
+    fused_active = (warp_sampling == "fused"
+                    and mode == warp_ops.BLENDED_FRAME
+                    and not bilinear
+                    and model not in ("hopperx", "hopperxq")
+                    and frac is None
+                    and jax.default_backend() == "tpu")
     # bilinear families ride the 1/64-pel shift sampler (ops/warp.
     # _bilinear_all_planes) except under measured sub-pel flow, whose
     # per-pixel refinement defeats the few-distinct-values structure
@@ -409,11 +423,38 @@ def _warp_stage(geom, mode, scale_shift, cut_policy, scene_enabled, model,
         fields = warp_ops._warp_fields(geom, blurred_w, frac)
         if shift_active or bshift_active:
             # t-independent sampler prep (padded sources + distinct flow
-            # tables) hoisted out of the per-position loop: ONE extraction
-            # and padding serves every output of the pair
+            # tables + index fields) hoisted out of the per-position
+            # loop: ONE extraction and padding serves every output
             fields["SPREP"] = warp_ops._sampler_prep(
                 geom, fields, f1y, f1u, f1v, f2y, f2u, f2v,
-                bilinear=bilinear)
+                bilinear=bilinear, fused=fused_active)
+
+        if fused_active:
+            from mpv_frame_interpolator_tpu.ops.pallas import warp_fused
+            prep = fields["SPREP"]
+            defaults = ((jnp.round(black).astype(jnp.int32) == 0)
+                        & (jnp.round(white).astype(jnp.int32) == 255))
+            sel = prep["ok"] & defaults
+
+            def one_f(t):
+                def fused_branch(_):
+                    return warp_fused.blended_from_prep(
+                        geom, prep, t, scale_shift)
+
+                def plain_branch(_):
+                    yy, uu, vv = warp_ops._warp_sample(
+                        geom, mode, scale_shift, dtype,
+                        f1y, f1u, f1v, f2y, f2u, f2v, fields, t,
+                        black, white, sampling="shift")
+                    ch, cw = uu.shape
+                    return yy, jnp.stack((uu, vv), axis=2).reshape(
+                        ch, cw * 2)
+
+                return jax.lax.cond(sel, fused_branch, plain_branch,
+                                    None)
+
+            y, uv = jax.lax.map(one_f, ts_w)
+            return y, uv
 
         def one(t):
             return warp_ops._warp_sample(

