@@ -215,9 +215,12 @@ def make_source(args):
             magic += chunk
         is_ebml = magic.startswith(b"\x1aE\xdf\xa3")
         is_mp4 = len(magic) >= 8 and magic[4:8] == b"ftyp"
-        if is_ebml or is_mp4:
+        is_avi = (len(magic) >= 12 and magic[:4] == b"RIFF"
+                  and magic[8:12] == b"AVI ")
+        if is_ebml or is_mp4 or is_avi:
             path = _spool_stdin_container(
-                raw, magic, ".mkv" if is_ebml else ".mp4")
+                raw, magic,
+                ".mkv" if is_ebml else ".avi" if is_avi else ".mp4")
             reader_cls, err_cls, name = _container_kind(path)
             try:
                 rdr = _open_container_path(args, path, reader_cls)
@@ -238,7 +241,8 @@ def make_source(args):
     if is_stream_url(args.source):
         from urllib.parse import urlparse
         upath = urlparse(args.source).path
-        if upath.endswith((".mkv", ".webm", ".mp4", ".mov", ".m4v")):
+        if upath.endswith((".mkv", ".webm", ".mp4", ".mov", ".m4v",
+                           ".avi")):
             # container over http(s): byte-range seeking when the server
             # supports it (stream_lavf.c http analog), else the y4m-style
             # spool path below can't parse containers -> hard error with
@@ -252,6 +256,9 @@ def make_source(args):
             if upath.endswith((".mkv", ".webm")):
                 from mpv_frame_interpolator_tpu.io.mkv import MKVReader
                 rdr = MKVReader(fh)
+            elif upath.endswith(".avi"):
+                from mpv_frame_interpolator_tpu.io.avi import AVIReader
+                rdr = AVIReader(fh)
             else:
                 from mpv_frame_interpolator_tpu.io.mp4 import MP4Reader
                 rdr = MP4Reader(fh)
@@ -263,6 +270,22 @@ def make_source(args):
         rdr = y4m.RawYUVReader(fh, args.width, args.height, args.fps,
                                P010 if args.p010 else NV12)
         return rdr, args.width, args.height
+    if args.source.endswith((".mjpeg", ".mjpg")):
+        # raw concatenated-JPEG stream (IP-camera dump): in-process
+        # baseline-JPEG decode, nominal rate from --fps
+        from mpv_frame_interpolator_tpu.io.jpeg import (decode_jpeg_planes,
+                                                        mjpeg_source)
+        with open(args.source, "rb") as probe:
+            head = probe.read(1 << 20)
+        from mpv_frame_interpolator_tpu.io.jpeg import split_jpeg_stream
+        import io as _io
+        first = next(split_jpeg_stream(_io.BytesIO(head).read), None)
+        if first is None:
+            raise SystemExit(f"{args.source!r}: no JPEG frames found")
+        y0, _, _ = decode_jpeg_planes(first)
+        h0, w0 = y0.shape
+        return (mjpeg_source(args.source, fps=args.fps),
+                w0 + w0 % 2, h0 + h0 % 2)
     if args.source.endswith(".y4m"):
         from mpv_frame_interpolator_tpu.io import ingest
         if args.ingest == "python":
@@ -297,6 +320,9 @@ def _container_kind(name: str):
     if name.endswith((".mp4", ".mov", ".m4v")):
         from mpv_frame_interpolator_tpu.io.mp4 import MP4Error, MP4Reader
         return (MP4Reader, MP4Error, "MP4")
+    if name.endswith(".avi"):
+        from mpv_frame_interpolator_tpu.io.avi import AVIError, AVIReader
+        return (AVIReader, AVIError, "AVI")
     return None
 
 

@@ -30,8 +30,9 @@ def ffmpeg_source(path: str, pixfmt: str = NV12, threads: int = 0,
     if not have_ffmpeg():
         raise RuntimeError(
             f"cannot open {path!r}: ffmpeg is not installed; natively "
-            f"readable formats are .y4m, .yuv (raw I420), and .mkv/.webm "
-            f"with uncompressed video (io/mkv.py)")
+            f"readable formats are .y4m, .yuv (raw I420), MKV/MP4/AVI "
+            f"with uncompressed video, and Motion-JPEG in any of those "
+            f"containers or as a raw .mjpeg stream (io/jpeg.py)")
     outfmt = "yuv420p" if pixfmt == NV12 else "yuv420p10le"
     cmd = ["ffmpeg", "-nostdin", "-loglevel", "error", "-i", path,
            "-map", "0:v:0", "-pix_fmt", outfmt, "-f", "yuv4mpegpipe", "-"]

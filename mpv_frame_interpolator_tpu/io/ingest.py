@@ -219,6 +219,11 @@ class NativeIndexedSource:
         self.fmt = reader.fmt
         self.pixfmt = reader.fmt.pixfmt
         self._layout = reader._layout
+        if self._layout not in ("i420", "nv12"):
+            # compressed payloads (e.g. MJPEG) decode in the Python
+            # reader; the pread ring only repacks raw planes
+            raise ValueError(f"indexed ring handles raw layouts only, "
+                             f"not {self._layout!r}")
         self._start_pts = getattr(reader, "_start_pts", 0.0)
         expected = self.width * self.height * 3 // 2
         index = reader._index
@@ -323,6 +328,8 @@ def open_container(path: str, prefer_native: bool = True, ring_depth: int = 4,
     error type for compressed codecs (callers fall back to io/decode.py)."""
     if path.endswith((".mp4", ".mov", ".m4v")):
         from mpv_frame_interpolator_tpu.io.mp4 import MP4Reader as cls
+    elif path.endswith(".avi"):
+        from mpv_frame_interpolator_tpu.io.avi import AVIReader as cls
     else:
         from mpv_frame_interpolator_tpu.io.mkv import MKVReader as cls
     reader = cls(path, start_pts=start_pts)

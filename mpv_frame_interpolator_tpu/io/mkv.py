@@ -135,27 +135,33 @@ class MKVReader:
         if self.track is None:
             raise MKVError("no video track found")
         t = self.track
-        if t.codec_id != "V_UNCOMPRESSED":
+        if t.codec_id == "V_MJPEG":
+            # in-process baseline-JPEG decode (io/jpeg.py); every other
+            # compressed codec still needs the external decoder
+            self._layout = "mjpeg"
+        elif t.codec_id != "V_UNCOMPRESSED":
             raise MKVError(
                 f"track codec {t.codec_id!r} needs an external decoder "
-                f"(only V_UNCOMPRESSED is demuxed natively; see "
-                f"io/decode.py)")
-        fourcc = t.colour_space.decode("ascii", "replace").strip("\0 ")
-        if fourcc in ("I420", "IYUV", ""):
-            self._layout = "i420"
-        elif fourcc == "NV12":
-            self._layout = "nv12"
+                f"(V_UNCOMPRESSED and V_MJPEG are demuxed+decoded "
+                f"natively; see io/decode.py)")
         else:
-            raise MKVError(f"unsupported uncompressed layout {fourcc!r}")
+            fourcc = t.colour_space.decode("ascii", "replace").strip("\0 ")
+            if fourcc in ("I420", "IYUV", ""):
+                self._layout = "i420"
+            elif fourcc == "NV12":
+                self._layout = "nv12"
+            else:
+                raise MKVError(f"unsupported uncompressed layout {fourcc!r}")
         if not (0 < t.width <= _MAX_DIM and 0 < t.height <= _MAX_DIM
                 and t.width * t.height <= _MAX_PIXELS):
             raise MKVError(f"bad video dimensions {t.width}x{t.height}")
-        if t.width % 2 or t.height % 2:
+        if (t.width % 2 or t.height % 2) and self._layout != "mjpeg":
             raise MKVError("4:2:0 requires even dimensions")
         self.width, self.height = t.width, t.height
         self.fps = (1e9 / t.default_duration_ns
                     if t.default_duration_ns else self._infer_fps())
-        self.fmt = FrameFormat(self.width, self.height, NV12)
+        self.fmt = FrameFormat(self.width + self.width % 2,
+                               self.height + self.height % 2, NV12)
         self._expected = self.width * self.height * 3 // 2
 
     # -- parsing ----------------------------------------------------------
@@ -299,6 +305,18 @@ class MKVReader:
 
     def _decode_payload(self, data: bytes) -> VideoFrame:
         w, h = self.width, self.height
+        if self._layout == "mjpeg":
+            from mpv_frame_interpolator_tpu.io.jpeg import decode_jpeg_frame
+            try:
+                frame = decode_jpeg_frame(data, nominal_fps=self.fps)
+            except ValueError as e:
+                raise MKVError(f"bad MJPEG frame: {e}") from None
+            if (frame.fmt.width, frame.fmt.height) != (self.fmt.width,
+                                                       self.fmt.height):
+                raise MKVError(
+                    f"MJPEG frame geometry {frame.fmt.width}x"
+                    f"{frame.fmt.height} != track {w}x{h}")
+            return frame
         if len(data) < self._expected:
             raise MKVError(f"short frame payload ({len(data)} bytes, "
                            f"need {self._expected})")

@@ -33,7 +33,12 @@ _MAX_DIM = 16384
 _MAX_PIXELS = 1 << 27
 
 RAW_FOURCCS = {"I420": "i420", "IYUV": "i420", "NV12": "nv12",
-               "raw ": "i420", "j420": "i420"}
+               "raw ": "i420", "j420": "i420",
+               # Motion-JPEG sample entries: decoded in-process by
+               # io/jpeg.py (QuickTime 'jpeg'/'mjpa'; 'MJPG' from
+               # remuxed AVI streams)
+               "jpeg": "mjpeg", "mjpa": "mjpeg", "MJPG": "mjpeg",
+               "mjpg": "mjpeg"}
 
 
 class MP4Error(ValueError):
@@ -102,12 +107,13 @@ class MP4Reader:
         if not (0 < t.width <= _MAX_DIM and 0 < t.height <= _MAX_DIM
                 and t.width * t.height <= _MAX_PIXELS):
             raise MP4Error(f"bad video dimensions {t.width}x{t.height}")
-        if t.width % 2 or t.height % 2:
+        if (t.width % 2 or t.height % 2) and layout != "mjpeg":
             raise MP4Error("4:2:0 requires even dimensions")
         self.width, self.height = t.width, t.height
         self._build_index()
         self.fps = self._infer_fps()
-        self.fmt = FrameFormat(self.width, self.height, NV12)
+        self.fmt = FrameFormat(self.width + self.width % 2,
+                               self.height + self.height % 2, NV12)
         self._expected = self.width * self.height * 3 // 2
 
     # -- parsing ----------------------------------------------------------
@@ -264,6 +270,18 @@ class MP4Reader:
 
     def _decode_payload(self, data: bytes) -> VideoFrame:
         w, h = self.width, self.height
+        if self._layout == "mjpeg":
+            from mpv_frame_interpolator_tpu.io.jpeg import decode_jpeg_frame
+            try:
+                frame = decode_jpeg_frame(data, nominal_fps=self.fps)
+            except ValueError as e:
+                raise MP4Error(f"bad MJPEG frame: {e}") from None
+            if (frame.fmt.width, frame.fmt.height) != (self.fmt.width,
+                                                       self.fmt.height):
+                raise MP4Error(
+                    f"MJPEG frame geometry {frame.fmt.width}x"
+                    f"{frame.fmt.height} != track {w}x{h}")
+            return frame
         if len(data) < self._expected:
             raise MP4Error(f"short frame payload ({len(data)} bytes, "
                            f"need {self._expected})")

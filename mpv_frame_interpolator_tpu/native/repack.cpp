@@ -651,11 +651,15 @@ static PyTypeObject IndexedRingType = {
     PyVarObject_HEAD_INIT(nullptr, 0)
 };
 
+extern "C" PyObject* mfi_decode_jpeg(PyObject*, PyObject*);  // native/jpeg.cpp
+
 static PyMethodDef module_methods[] = {
     {"interleave_chroma", py_interleave, METH_VARARGS,
      "interleave_chroma(u, v, out): planar -> NV12 UV plane"},
     {"deinterleave_chroma", py_deinterleave, METH_VARARGS,
      "deinterleave_chroma(uv, u, v): NV12 UV plane -> planar"},
+    {"decode_jpeg", mfi_decode_jpeg, METH_VARARGS,
+     "decode_jpeg(data) -> (w, h, y, u, v): baseline JPEG -> I420 planes"},
     {nullptr, nullptr, 0, nullptr},
 };
 

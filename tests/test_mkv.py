@@ -49,7 +49,8 @@ def simple_block(track: int, rel_ts: int, data: bytes) -> bytes:
 
 
 def build_mkv(frames, w, h, fps=24.0, codec=b"V_UNCOMPRESSED",
-              colour=b"I420", layout="i420", per_cluster=3):
+              colour=b"I420", layout="i420", per_cluster=3,
+              payloads=None):
     ts_scale = 1000000           # 1 ms ticks
     dur_ns = int(1e9 / fps)
     header = elem(0x1A45DFA3, uint_elem(0x4286, 1))      # EBMLVersion 1
@@ -67,6 +68,10 @@ def build_mkv(frames, w, h, fps=24.0, codec=b"V_UNCOMPRESSED",
         u, v = f.uv[:, 0::2], f.uv[:, 1::2]
         return (y + np.ascontiguousarray(u).tobytes()
                 + np.ascontiguousarray(v).tobytes())
+
+    if payloads is not None:          # pre-encoded samples (e.g. MJPEG)
+        frames = payloads
+        payload = bytes
 
     clusters = b""
     for c0 in range(0, len(frames), per_cluster):

@@ -24,7 +24,7 @@ def full(btype: bytes, payload: bytes) -> bytes:
 
 
 def build_mp4(frames, w, h, fps=24.0, fourcc=b"I420", layout="i420",
-              timescale=12288, per_chunk=2):
+              timescale=12288, per_chunk=2, payloads=None):
     def payload(f):
         y = f.y.tobytes()
         if layout == "nv12":
@@ -33,7 +33,8 @@ def build_mp4(frames, w, h, fps=24.0, fourcc=b"I420", layout="i420",
         return (y + np.ascontiguousarray(u).tobytes()
                 + np.ascontiguousarray(v).tobytes())
 
-    samples = [payload(f) for f in frames]
+    samples = payloads if payloads is not None \
+        else [payload(f) for f in frames]
     delta = int(round(timescale / fps))
 
     ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
