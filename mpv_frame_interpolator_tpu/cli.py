@@ -141,6 +141,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "live search radius runs the smallest bucket that "
                         "covers it, so quality degradation cuts real chip "
                         "work (empty = single 16-layer program)")
+    p.add_argument("--mf-fps", type=float, default=1.0,
+                   help="frame rate for mf:// image sequences "
+                        "(demux_mf's --mf-fps; default 1)")
     p.add_argument("--vf", default="",
                    help="host filter chain before interpolation, e.g. "
                         "'crop=640:360,vflip,fps=24' (user_filters analog)")
@@ -192,6 +195,18 @@ def make_source(args):
         # out in main() via one make_source call per entry)
         args = argparse.Namespace(**{**vars(args),
                                      "source": args.source[0]})
+    if args.source.startswith("mf://") or (
+            "://" not in args.source
+            and not args.source.startswith("synthetic:")):
+        from mpv_frame_interpolator_tpu.io import mf
+        if args.source.startswith("mf://") or mf.is_image_path(args.source):
+            try:
+                rdr = mf.MFReader(args.source, fps=args.mf_fps,
+                                  pixfmt=P010 if args.p010 else NV12)
+            except mf.MFError as e:
+                raise SystemExit(f"cannot open image sequence "
+                                 f"{args.source!r}: {e}")
+            return rdr, rdr.width, rdr.height
     if args.source.startswith("synthetic:"):
         name = args.source.split(":", 1)[1]
         cfg = synthetic.SyntheticConfig(
