@@ -62,10 +62,17 @@ def expand_mf_pattern(spec: str, max_probe: int = 100000) -> List[str]:
     Forms, tried in this order exactly like the reference:
       @list.txt        one filename per line (# comments skipped)
       a.png,b.png      explicit comma-separated list
-      frame_%04d.png   printf sequence -- probed from index 0/1 until the
-                       first gap after a hit (bounded by ``max_probe``)
+      frame_%04d.png   printf sequence -- probed from index 0, tolerating
+                       up to 5 cumulative missing indices like the
+                       reference (demux_mf.c: ``error_count < 5`` without
+                       reset, so sequences starting at 2-4 and single
+                       mid-sequence gaps both work; bounded by
+                       ``max_probe``).  Exactly one ``%[.][NUM]d``
+                       specifier is allowed (``%%`` escapes a literal).
       frame_*.png      glob, natural-sorted
-      single.png       one file
+      prefix           no glob magic and the file doesn't exist: globbed
+                       as ``prefix*`` (the reference appends ``*``)
+      single.png       one existing file
     """
     spec = spec[5:] if spec.startswith("mf://") else spec
     if not spec:
@@ -85,22 +92,48 @@ def expand_mf_pattern(spec: str, max_probe: int = 100000) -> List[str]:
         return out
     if "," in spec:
         return [n for n in (s.strip() for s in spec.split(",")) if n]
-    if re.search(r"%\d*d", spec):
+    if re.search(r"%\.?\d*d", spec):
+        # validate: exactly one %[.][NUM]d conversion, %% escapes allowed,
+        # nothing else (demux_mf.c rejects other specifiers gracefully
+        # instead of crashing in the formatter)
+        n_conv, i = 0, 0
+        while i < len(spec):
+            if spec[i] != "%":
+                i += 1
+                continue
+            m = re.match(r"%(?:%|\.?\d*d)", spec[i:])
+            if m is None:
+                raise MFError(
+                    f"mf pattern {spec!r}: only a single %%[.][NUM]d "
+                    f"specifier is supported")
+            if m.group(0) != "%%":
+                n_conv += 1
+            i += m.end()
+        if n_conv != 1:
+            raise MFError(f"mf pattern {spec!r} has {n_conv} %d "
+                          f"specifiers; exactly one is supported")
         out, misses = [], 0
         for k in range(max_probe):
             name = spec % k
             if os.path.exists(name):
                 out.append(name)
-                misses = 0
-            elif out:
-                break  # first gap after a hit ends the sequence
             else:
+                # reference behavior: up to 5 CUMULATIVE misses without
+                # reset (sequences starting at 2-4 are found; one
+                # mid-sequence gap doesn't end playback)
                 misses += 1
-                if misses > 1:  # sequences start at 0 or 1
+                if misses >= 5:
                     break
         return out
     if _glob.has_magic(spec):
         return sorted(_glob.glob(spec), key=_natural_key)
+    if not os.path.exists(spec):
+        # reference behavior: a magicless, %-less pattern gets '*'
+        # appended, so mf://dir/prefix expands to prefix*
+        hits = sorted(_glob.glob(_glob.escape(spec) + "*"),
+                      key=_natural_key)
+        if hits:
+            return hits
     return [spec]
 
 

@@ -135,12 +135,22 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError(f"bad PNG color type {color_type}")
     if not (0 < w <= 1 << 16 and 0 < h <= 1 << 16):
         raise ValueError("bad PNG geometry")
+    stride = w * ch
+    expect = h * (1 + stride)
+    # cap the inflation at the IHDR-implied size BEFORE allocating: a
+    # crafted tiny-header/huge-stream PNG must not balloon memory (the
+    # uncapped zlib.decompress of an earlier revision allocated ~870MB
+    # from a 400KB input; ADVICE r3)
+    dec = zlib.decompressobj()
     try:
-        raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+        buf = dec.decompress(b"".join(idat), expect + 1)
+        while dec.unconsumed_tail and len(buf) <= expect:
+            buf += dec.decompress(dec.unconsumed_tail,
+                                  expect + 1 - len(buf))
     except zlib.error as e:
         raise ValueError(f"bad PNG zlib stream: {e}") from None
-    stride = w * ch
-    if raw.size != h * (1 + stride):
+    raw = np.frombuffer(buf, np.uint8)
+    if raw.size != expect:
         raise ValueError("PNG pixel data size mismatch")
     px = _unfilter(raw, h, stride, ch).reshape(h, w, ch)
     if color_type == 3:

@@ -129,6 +129,24 @@ def test_png_malformed_raises(mutate):
         decode_png(mutate(good))
 
 
+def test_png_zlib_bomb_rejected_without_inflation():
+    """A crafted tiny-header PNG whose IDAT inflates to ~870MB must be
+    rejected by the capped decompressor BEFORE allocating (ADVICE r3:
+    OOM/DoS vector on the 1-core host)."""
+    import resource
+    bomb = zlib.compress(b"\x00" * (870 * 1024 * 1024), 9)
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    data = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", bomb) + _chunk(b"IEND", b""))
+    assert len(data) < 2 * 1024 * 1024
+    before = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    with pytest.raises(ValueError):
+        decode_png(data)
+    after = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    # ru_maxrss is KiB on linux; the decode must not have ballooned
+    assert after - before < 100 * 1024
+
+
 def test_png_rejects_interlace_and_16bit():
     px = rng.integers(0, 256, (4, 4), dtype=np.uint8)
     data = bytearray(_make_png(px, 0, [0]))
@@ -176,6 +194,45 @@ def test_expand_printf_sequence(tmp_path):
     # sequences starting at 1 are found too
     _write_seq(tmp_path, [f"t{k:02d}.png" for k in range(1, 4)])
     assert len(mf.expand_mf_pattern(str(tmp_path / "t%02d.png"))) == 3
+
+
+def test_expand_printf_gap_tolerance(tmp_path):
+    """Reference demux_mf.c probes while error_count < 5 CUMULATIVELY:
+    sequences starting at index 2-4 are found, and a single mid-sequence
+    gap does not end playback."""
+    _write_seq(tmp_path, [f"g{k:02d}.png" for k in (2, 3, 5, 6)])
+    got = mf.expand_mf_pattern(str(tmp_path / "g%02d.png"))
+    assert [os.path.basename(p) for p in got] == \
+        ["g02.png", "g03.png", "g05.png", "g06.png"]
+    # starting at 4 (4 leading misses < 5) is still found
+    _write_seq(tmp_path, ["h04.png", "h05.png"])
+    assert len(mf.expand_mf_pattern(str(tmp_path / "h%02d.png"))) == 2
+    # starting at 5 is not (reference gives up at 5 cumulative misses)
+    _write_seq(tmp_path, ["i05.png"])
+    assert mf.expand_mf_pattern(str(tmp_path / "i%02d.png")) == []
+
+
+def test_expand_printf_bad_specs_raise(tmp_path):
+    """Multiple or non-d specifiers must raise MFError (graceful CLI
+    failure), not TypeError from the % formatter (ADVICE r3)."""
+    for bad in ("a%04d_%02d.png", "a%sb%04d.png", "x%fy%d.png"):
+        with pytest.raises(mf.MFError):
+            mf.expand_mf_pattern(str(tmp_path / bad))
+    # %% escape plus one %d is fine
+    _write_seq(tmp_path, ["100%_0.png", "100%_1.png"])
+    got = mf.expand_mf_pattern(str(tmp_path / "100%%_%d.png"))
+    assert len(got) == 2
+
+
+def test_expand_magicless_prefix_globs(tmp_path):
+    """demux_mf.c appends '*' to a pattern with no wildcard: a bare
+    prefix expands; an existing single file stays a single file."""
+    _write_seq(tmp_path, ["pre_1.png", "pre_2.png", "pre_10.png"])
+    got = mf.expand_mf_pattern(f"mf://{tmp_path}/pre_")
+    assert [os.path.basename(p) for p in got] == \
+        ["pre_1.png", "pre_2.png", "pre_10.png"]
+    assert mf.expand_mf_pattern(str(tmp_path / "pre_1.png")) == \
+        [str(tmp_path / "pre_1.png")]
 
 
 def test_expand_list_and_comma(tmp_path):
