@@ -129,13 +129,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="how the per-pair warp batch is expressed in the "
                         "fused program (bit-identical outputs; compile-time "
                         "tradeoff knob)")
-    p.add_argument("--timing-source", default="block",
-                   choices=("block", "amortized"),
+    p.add_argument("--timing-source", default="auto",
+                   choices=("auto", "block", "amortized"),
                    help="how the compute time fed to the auto-quality "
                         "controller is measured: wall-to-block (reference "
                         "behavior) or periodic data-dependent scalar "
                         "readbacks (honest on hosts whose block/ack "
-                        "returns before device execution)")
+                        "returns before device execution); auto probes "
+                        "the host once and picks")
     p.add_argument("--layer-buckets", default="5,8,16",
                    help="comma-separated flow layer-count variants; the "
                         "live search radius runs the smallest bucket that "

@@ -14,7 +14,8 @@ import numpy as np
 
 def chip_pair_seconds(width=3840, height=2160, n_outputs=5, radius=16,
                       model="hopper", k1=8, k2=40, p010=False,
-                      repeats=2, layers=None, warp_sampling="shift"):
+                      repeats=2, layers=None, warp_sampling="shift",
+                      max_calc_res=None, num_iterations=0):
     import jax
     import jax.numpy as jnp
     from mpv_frame_interpolator_tpu.io import synthetic
@@ -28,7 +29,10 @@ def chip_pair_seconds(width=3840, height=2160, n_outputs=5, radius=16,
     cfg = synthetic.SyntheticConfig(width=width, height=height, fps=24.0,
                                     pixfmt="p010" if p010 else "nv12")
     f1, f2, _ = list(synthetic.gradient_pan(cfg, 3, vx=3, vy=1))
-    geom = FlowGeometry.create(height, width, width)
+    from mpv_frame_interpolator_tpu.ops import oracle
+    geom = FlowGeometry.create(height, width, width,
+                               max_calc_res or oracle.MAX_CALC_RES,
+                               num_iterations)
     step = _make_source_step(geom, 2, 8 if p010 else 0, "nearest", True,
                              model, warp_sampling=warp_sampling,
                              layers=layers)
