@@ -142,6 +142,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "live search radius runs the smallest bucket that "
                         "covers it, so quality degradation cuts real chip "
                         "work (empty = single 16-layer program)")
+    p.add_argument("--degrade-rungs", default="2:2,2:2:blend",
+                   help="degradation ladder beyond the radius floor, as "
+                        "comma-separated iteration_delta:res_divisor"
+                        "[:model] rungs (the auto-quality controller "
+                        "steps down pyramid depth / calc resolution / "
+                        "interpolator family when radius alone cannot "
+                        "restore real-time; empty disables)")
     p.add_argument("--mf-fps", type=float, default=1.0,
                    help="frame rate for mf:// image sequences "
                         "(demux_mf's --mf-fps; default 1)")
@@ -481,6 +488,10 @@ def main(argv=None) -> int:
         timing_source=args.timing_source,
         layer_buckets=tuple(int(b) for b in args.layer_buckets.split(",")
                             if b.strip()),
+        degrade_rungs=tuple(
+            tuple(int(x) if i < 2 else x
+                  for i, x in enumerate(r.split(":", 2)))
+            for r in args.degrade_rungs.split(",") if r.strip()),
     )
     engine = InterpolationEngine(config)
     if args.speed != 1.0:

@@ -208,6 +208,25 @@ class EngineConfig:
     # stepping 16 -> 5 really cuts the per-step candidate work ~3.2x.
     # () disables (single 16-layer program, the round-2 behavior).
     layer_buckets: tuple = (5, 8, 16)
+    # Degradation ladder BEYOND the radius floor (QualityController.
+    # level).  Each rung is (iteration_delta, res_divisor[, model])
+    # relative to the configured setup: the rung's flow pyramid runs
+    # max(base_iterations - iteration_delta, 1) iterations at
+    # max(max_calc_res // res_divisor, 64) calc resolution, optionally
+    # under a cheaper interpolator family.  Radius is the reference's
+    # only lever (it scales the launch grid, opticalFlowCalc.c:130,
+    # ~3.2x there); on this rebuild the fused pair is warp-dominated so
+    # radius alone buys ~1.02x and depth alone ~1.05x at 4K
+    # (tools/degrade_ladder.py, 2026-08-19) -- the rungs that bite are
+    # calc resolution (res/2 + depth-2 = 1.56x) and, as the last resort
+    # before the reference's TooSlow passthrough, the zero-flow "blend"
+    # family (cross-fade at the full display rate: still a better
+    # experience than TooSlow's source-rate snap, and an order of
+    # magnitude cheaper than warping).  () disables the ladder (radius-
+    # only degradation, reference-shaped).  Rung programs are warmed by
+    # the background-precompile thread; the controller only steps onto a
+    # warm rung.
+    degrade_rungs: tuple = ((2, 2), (2, 2, "blend"))
     # measured fractional-pel flow (ops/flow.subpel_refine): parabolic
     # sub-pel refinement of the committed integer flow.  The bilinear
     # families (hopperq/hopperxq) consume it at 1/64-pel in the warp; the
@@ -252,6 +271,18 @@ class EngineConfig:
                                           self.layer_buckets))
         if any(b < 2 for b in self.layer_buckets):
             raise ValueError("layer buckets must be >= 2")
+        rungs = []
+        for rung in self.degrade_rungs:
+            d, r = int(rung[0]), int(rung[1])
+            m = rung[2] if len(rung) > 2 else None
+            if d < 0 or r < 1:
+                raise ValueError("degrade rungs must be (iteration_delta"
+                                 ">=0, res_divisor>=1[, model])")
+            if m is not None:
+                from mpv_frame_interpolator_tpu import models as _models
+                _models.validate(m)
+            rungs.append((d, r, m))
+        self.degrade_rungs = tuple(rungs)
 
 
 class OutputFrame:
@@ -660,7 +691,9 @@ class InterpolationEngine:
         self.quality = QualityController(
             enabled=self.config.auto_quality,
             search_radius=self.config.initial_search_radius,
-            too_slow_patience=self.config.too_slow_patience)
+            too_slow_patience=self.config.too_slow_patience,
+            max_level=len(self.config.degrade_rungs))
+        self.quality.rung_warm = self._rung_warm
         self.scene = SceneChangeDetector(
             enabled=self.config.scene_detection,
             threshold=self.config.scene_threshold)
@@ -672,6 +705,9 @@ class InterpolationEngine:
         self.neighbor_bias_scalar = self.config.neighbor_bias_scalar
 
         self.geom: Optional[FlowGeometry] = None
+        self._geoms: List[FlowGeometry] = []   # [level 0, rung 1, ...]
+        self._level_models: List[str] = []     # model family per level
+        self._rung_ready = {0}                 # levels with warm programs
         self._scale_shift = 0
         self._fmt: Optional[FrameFormat] = None
         self._prev: Optional[_DeviceFrame] = None
@@ -722,6 +758,15 @@ class InterpolationEngine:
         self.geom = FlowGeometry.create(fmt.height, fmt.stride, fmt.width,
                                         self.config.max_calc_res,
                                         self.config.num_iterations)
+        self._geoms = [self.geom]
+        self._level_models = [self.config.model]
+        for d_iter, res_div, model in self.config.degrade_rungs:
+            self._geoms.append(FlowGeometry.create(
+                fmt.height, fmt.stride, fmt.width,
+                max(self.config.max_calc_res // res_div, 64),
+                max(self.geom.iterations - d_iter, 1)))
+            self._level_models.append(model or self.config.model)
+        self._rung_ready = {0}
         self._scale_shift = 0 if fmt.pixfmt == NV12 else 8
         self._fmt = fmt
         self._prev = None
@@ -732,6 +777,26 @@ class InterpolationEngine:
         log.info("flow geometry: %s (pixfmt=%s)", self.geom, fmt.pixfmt)
         if self.config.precompile:
             self._precompile()
+
+    def _rung_warm(self, level: int) -> bool:
+        """Gate for QualityController ladder steps: a rung may be entered
+        only once its programs are compiled (the background-precompile
+        thread warms every rung right after the layer buckets), so a
+        degradation step never trades an over-budget frame for a
+        multi-second jit stall.  Without the background thread (tests,
+        precompile=True setups) stepping compiles synchronously."""
+        if not self.config.background_precompile:
+            return True
+        return level in self._rung_ready
+
+    def _active_level(self) -> int:
+        """The degradation level this push runs: the controller's level,
+        demoted to the nearest lower level whose program is warm (level 0
+        is warm after the first pair by construction)."""
+        level = self.quality.level
+        while level > 0 and not self._rung_warm(level):
+            level -= 1
+        return level
 
     def _layers_for(self, radius: int) -> int:
         """Static layer count (compiled variant) serving `radius`: the
@@ -750,20 +815,23 @@ class InterpolationEngine:
         base_n = max(int(np.ceil(1.0 / ratio)), 1)
         return {1, base_n, max(base_n - 1, 1), base_n + 1}
 
-    def _warm_batch_sizes(self, sizes, layers: int = None) -> int:
+    def _warm_batch_sizes(self, sizes, layers: int = None,
+                          level: int = 0) -> int:
         """Execute the fused step once per still-cold batch size (zeros
         input): populates the jit + persistent compile caches.  `layers`
         selects the flow layer bucket to warm (default: the bucket the
-        current radius runs)."""
+        current radius runs); `level` the degradation-ladder rung."""
         h, w = self.geom.height, self.geom.stride
+        geom = self._geoms[level]
+        model = self._level_models[level]
         if layers is None:
             layers = self._layers_for(self.quality.search_radius)
         dt = np.uint16 if self._scale_shift else np.uint8
         zy = jnp.zeros((h, w), dt)
         zuv = jnp.zeros((h // 2, w), dt)
-        step = _make_source_step(self.geom, self.frame_output_mode,
+        step = _make_source_step(geom, self.frame_output_mode,
                                  self._scale_shift, self.config.cut_policy,
-                                 self.scene.enabled, self.config.model,
+                                 self.scene.enabled, model,
                                  self.config.pallas_blur,
                                  self.config.warp_loop,
                                  self.config.subpel_flow,
@@ -772,10 +840,12 @@ class InterpolationEngine:
         warmed = 0
         if self.config.batch_shapes == "bucket":
             sizes = {_bucket_size(n) for n in sizes}
+        aborted = False
         for n in sorted(sizes):
             if _warm_shutdown is not None and _warm_shutdown.is_set():
+                aborted = True
                 break
-            spec = (self.frame_output_mode, n, self.config.model, layers)
+            spec = (self.frame_output_mode, n, model, layers, level)
             if spec in self._warm:
                 continue
             out = step(zy, zuv, zy, zuv,
@@ -787,6 +857,8 @@ class InterpolationEngine:
             jax.block_until_ready(out[0])
             self._warm.add(spec)
             warmed += 1
+        if not aborted:
+            self._rung_ready.add(level)
         return warmed
 
     def _precompile(self):
@@ -800,6 +872,11 @@ class InterpolationEngine:
         n = self._warm_batch_sizes(sizes)
         for b in self.config.layer_buckets:
             n += self._warm_batch_sizes(sizes, layers=b)
+        # degradation rungs run at the floor radius -> smallest bucket
+        floor_layers = self._layers_for(self.quality.min_radius)
+        for lvl in range(1, len(self._geoms)):
+            n += self._warm_batch_sizes(sizes, layers=floor_layers,
+                                        level=lvl)
         log.info("precompiled %d batch-size/bucket specs (all radii "
                  "shared) in %.1fs", n, time.perf_counter() - t0)
 
@@ -826,6 +903,15 @@ class InterpolationEngine:
                     if b != cur:
                         n += self._warm_batch_sizes(
                             self._plausible_batch_sizes(), layers=b)
+                # then the degradation rungs (run at the floor radius ->
+                # smallest bucket), so the controller's ladder steps
+                # (gated on _rung_warm) become available without ever
+                # stalling playback on a compile
+                floor_layers = self._layers_for(self.quality.min_radius)
+                for lvl in range(1, len(self._geoms)):
+                    n += self._warm_batch_sizes(
+                        self._plausible_batch_sizes(),
+                        layers=floor_layers, level=lvl)
                 if n:
                     log.info("background-precompiled %d batch-size/bucket "
                              "specs in %.1fs", n, time.perf_counter() - t0)
@@ -927,8 +1013,10 @@ class InterpolationEngine:
         n_batch = (_bucket_size(n_out)
                    if self.config.batch_shapes == "bucket" else n_out)
         layers = self._layers_for(self.quality.search_radius)
-        spec_key = (self.frame_output_mode, n_batch, self.config.model,
-                    layers)
+        level = self._active_level()
+        geom = self._geoms[level]
+        model = self._level_models[level]
+        spec_key = (self.frame_output_mode, n_batch, model, layers, level)
         if spec_key not in self._warm and self.config.background_precompile:
             # the wanted bucket isn't compiled yet: serve this pair from a
             # LARGER warm bucket (always valid -- layers >= radius -- and
@@ -938,10 +1026,10 @@ class InterpolationEngine:
             # than never)
             for b in self.config.layer_buckets:
                 if b > layers and (self.frame_output_mode, n_batch,
-                                   self.config.model, b) in self._warm:
+                                   model, b, level) in self._warm:
                     layers = b
                     spec_key = (self.frame_output_mode, n_batch,
-                                self.config.model, b)
+                                model, b, level)
                     break
         was_warm = spec_key in self._warm
 
@@ -979,12 +1067,13 @@ class InterpolationEngine:
             # separate programs, each timed by a device sync
             # (opticalFlowCalc.c:111-122,192-201)
             y, uv, blurred, cut_score, dur = self._push_split(
-                args, knobs, levels, thr, ts, was_warm, len(plan.outputs))
+                args, knobs, levels, thr, ts, was_warm, len(plan.outputs),
+                geom)
         else:
             step = _make_source_step(
-                self.geom, self.frame_output_mode, self._scale_shift,
+                geom, self.frame_output_mode, self._scale_shift,
                 self.config.cut_policy, self.scene.enabled,
-                self.config.model, self.config.pallas_blur,
+                model, self.config.pallas_blur,
                 self.config.warp_loop, self.config.subpel_flow,
                 self.config.warp_sampling, layers,
                 self.config.flow_kernel)
@@ -1109,8 +1198,11 @@ class InterpolationEngine:
         n_batch = (_bucket_size(n_out_max)
                    if self.config.batch_shapes == "bucket" else n_out_max)
         layers = self._layers_for(self.quality.search_radius)
+        level = self._active_level()
+        geom = self._geoms[level]
+        model = self._level_models[level]
         spec_key = ("group", self.frame_output_mode, k, n_batch,
-                    self.config.model, layers)
+                    model, layers, level)
         was_warm = spec_key in self._warm
 
         t0 = time.perf_counter()
@@ -1130,9 +1222,9 @@ class InterpolationEngine:
         levels = (self._dev_scalar("black", self.black_level, jnp.float32),
                   self._dev_scalar("white", self.white_level, jnp.float32))
         thr = self._dev_scalar("thr", self.scene.threshold, jnp.float32)
-        step = _make_group_step(self.geom, self.frame_output_mode,
+        step = _make_group_step(geom, self.frame_output_mode,
                                 self._scale_shift, self.config.cut_policy,
-                                self.scene.enabled, self.config.model,
+                                self.scene.enabled, model,
                                 self.config.pallas_blur,
                                 self.config.warp_loop,
                                 self.config.subpel_flow,
@@ -1237,15 +1329,16 @@ class InterpolationEngine:
         properties): enables the once-per-spec split calibration."""
         self._split_wanted = True
 
-    def _split_fns(self):
-        flow_fn = _make_flow_step(self.geom, self._scale_shift,
+    def _split_fns(self, geom=None):
+        geom = geom or self.geom
+        flow_fn = _make_flow_step(geom, self._scale_shift,
                                   self.scene.enabled, self.config.model,
                                   self.config.pallas_blur,
                                   self.config.subpel_flow,
                                   self._layers_for(
                                       self.quality.search_radius),
                                   self.config.flow_kernel)
-        warp_fn = _make_warp_step(self.geom, self.frame_output_mode,
+        warp_fn = _make_warp_step(geom, self.frame_output_mode,
                                   self._scale_shift, self.config.cut_policy,
                                   self.scene.enabled, self.config.model,
                                   self.config.warp_loop,
@@ -1258,8 +1351,8 @@ class InterpolationEngine:
         self.stats.add("warp_time", warp_t / max(n_outputs, 1))
 
     def _push_split(self, args, knobs, levels, thr, ts, was_warm: bool,
-                    n_outputs: int):
-        flow_fn, warp_fn = self._split_fns()
+                    n_outputs: int, geom=None):
+        flow_fn, warp_fn = self._split_fns(geom)
         t0 = time.perf_counter()
         blurred, frac, cut_score = flow_fn(*args, *knobs, thr)
         jax.block_until_ready(blurred)

@@ -33,12 +33,28 @@ class QualityController:
     # patience > 1 requires that many consecutive over-budget frames --
     # set to 1 for exact reference behavior.
     too_slow_patience: int = 3
+    # Degradation LADDER beyond the radius floor (EngineConfig.
+    # degrade_rungs): the reference's radius lever scales its launch grid
+    # (opticalFlowCalc.c:130) and buys ~3.2x there; on this rebuild the
+    # fused pair is warp- and fixed-step dominated, so radius alone
+    # measures ~1.02x (BENCH_r03 degradation_speedup) -- the levers that
+    # bite are pyramid depth and calc resolution (tools/degrade_ladder.py
+    # measures each rung).  level 0 = configured quality; each +1 is one
+    # rung down.  Stepping down is gated on rung_warm (the engine sets
+    # it) so the controller never trades an over-budget frame for a
+    # multi-second jit compile stall.
+    max_level: int = 0
+    level: int = 0
+    rung_warm = None          # callable level->bool, set by the engine
     _over_budget_streak: int = 0
+
+    def _rung_ready(self, lvl: int) -> bool:
+        return self.rung_warm is None or self.rung_warm(lvl)
 
     def update(self, calc_duration: float, cadence: CadenceEngine):
         """Feed the measured flow+warp duration for the previous source
-        frame; possibly adjusts radius or flips the cadence state to
-        TooSlow (vf_HopperRender.c:326-345).
+        frame; possibly adjusts radius, steps the degradation ladder, or
+        flips the cadence state to TooSlow (vf_HopperRender.c:326-345).
 
         calc_duration <= 0 means "no valid measurement" (e.g. the previous
         frame triggered a jit compile, which must not count as compute
@@ -51,6 +67,10 @@ class QualityController:
             if self.search_radius > self.min_radius:
                 self.search_radius -= 1
                 self._over_budget_streak = 0
+            elif self.level < self.max_level and \
+                    self._rung_ready(self.level + 1):
+                self.level += 1
+                self._over_budget_streak = 0
             else:
                 self._over_budget_streak += 1
                 if self._over_budget_streak >= self.too_slow_patience:
@@ -58,7 +78,11 @@ class QualityController:
                     self._over_budget_streak = 0
         elif calc_duration * self.lower_buffer < sft:
             self._over_budget_streak = 0
-            if self.search_radius < self.max_radius:
+            # recovery unwinds in reverse: restore full-geometry quality
+            # (the most recent sacrifice) before growing the radius back
+            if self.level > 0:
+                self.level -= 1
+            elif self.search_radius < self.max_radius:
                 self.search_radius += 1
         else:
             self._over_budget_streak = 0

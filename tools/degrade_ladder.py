@@ -26,21 +26,22 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     from mpv_frame_interpolator_tpu.utils.chiptime import chip_pair_seconds
 
-    # (tag, radius, layers, num_iterations (0=full), max_calc_res)
+    # (tag, radius, layers, num_iterations (0=full), max_calc_res, model)
     ladder = [
-        ("full r16",            16, 16, 0, 270),
-        ("r5",                   5,  5, 0, 270),
-        ("r5 depth-1",           5,  5, 7, 270),
-        ("r5 depth-2",           5,  5, 6, 270),
-        ("r5 depth-3",           5,  5, 5, 270),
-        ("r5 res/2",             5,  5, 0, 135),
-        ("r5 res/2 depth-2",     5,  5, 5, 135),
+        ("full r16",            16, 16, 0, 270, "hopper"),
+        ("r5",                   5,  5, 0, 270, "hopper"),
+        ("r5 depth-1",           5,  5, 7, 270, "hopper"),
+        ("r5 depth-2",           5,  5, 6, 270, "hopper"),
+        ("r5 depth-3",           5,  5, 5, 270, "hopper"),
+        ("r5 res/2",             5,  5, 0, 135, "hopper"),
+        ("r5 res/2 depth-2",     5,  5, 5, 135, "hopper"),
+        ("blend rung",           5,  5, 5, 135, "blend"),
     ]
     base = None
-    for tag, radius, layers, iters, mcr in ladder:
-        sec = chip_pair_seconds(w, h, 5, radius, k1=4, k2=12, repeats=1,
-                                layers=layers, num_iterations=iters,
-                                max_calc_res=mcr)
+    for tag, radius, layers, iters, mcr, model in ladder:
+        sec = chip_pair_seconds(w, h, 5, radius, model=model, k1=4, k2=12,
+                                repeats=1, layers=layers,
+                                num_iterations=iters, max_calc_res=mcr)
         if base is None:
             base = sec
         print(f"{tag:18s}: {sec*1e3:8.3f} ms/pair  "

@@ -1,26 +1,32 @@
 #!/usr/bin/env python
 """Reconcile BENCH's host_gap_ms_per_pair with dispatch_gap's +0.77.
 
-VERDICT r3 weak #1: the headline bench pays ~65 ms/pair of host gap at
-4K through engine.push, while tools/dispatch_gap.py measured independent
-dispatches at +0.77 ms/pair -- but at 1080p, with raw step() calls and
-nothing uploaded per dispatch.  This tool replays the bench's EXACT
-conditions (4K, 5 outputs, radius 16, pallas flow kernel) and toggles
-one suspect at a time:
+VERDICT r3 weak #1: the headline bench pays ~65 ms/pair at 4K through
+engine.push, while tools/dispatch_gap.py measured independent dispatches
+at +0.77 ms/pair -- but with the SAME staged pair re-dispatched.  Round-4
+first pass found the gap rides DISTINCT input buffers: cycling 12 staged
+pairs costs +55.9 ms/pair where re-dispatching one pair costs +0.28
+(/tmp/gap4.txt, 2026-08-19).  This tool isolates the mechanism:
 
-  chip        scan-chained baseline (pure chip)
-  raw-const   K independent step() dispatches, all inputs pre-staged,
-              ts staged ONCE (dispatch_gap conditions at 4K)
-  raw-ts      same, but a FRESH jnp.asarray(ts) per dispatch (what
-              engine.push does every push)
-  raw-cycle   fresh ts + cycling 12 distinct staged source pairs
-  engine      the real engine.push stream (bench's loop, measure_timing
-              off) on staged frames
+  chip        scan-chained baseline (pure chip), n_outputs=5
+  chip-b6     same with the bucket-padded batch the engine really runs
+  raw-const   K dispatches of one staged pair (relay's hot path)
+  raw-cycle   K dispatches cycling 12 distinct staged pairs -- first
+              use of each buffer inside the timed window
+  raw-cycle2  the SAME loop again, same process: if the cost was a
+              one-time lazy upload it vanishes; if it recurs, the relay
+              pays per-dispatch for buffers outside its hot set
+  raw-keep    raw-cycle2 conditions but ALL outputs retained (no frees
+              inside the window): isolates buffer-free cost
+  push        the real engine.push stream (bench loop, measure_timing
+              off) over the same cycling sources
+  group8      engine.push_many with group_size=8 over the same stream
+              (one fused program per 8 pairs)
 
 Every row is honest: one data-dependent scalar readback at the end,
 measured RTT subtracted, amortized over K pairs.
 
-    PYTHONPATH=.:/root/.axon_site python tools/gap_reconcile.py [K]
+    PYTHONPATH=.:/root/.axon_site python tools/gap_reconcile.py [K] [WxH]
 """
 
 import sys
@@ -43,7 +49,10 @@ def _rtt():
 
 def main():
     K = int(sys.argv[1]) if len(sys.argv) > 1 else 24
-    w, h, n_out, radius = 3840, 2160, 5, 16
+    w, h = (3840, 2160)
+    if len(sys.argv) > 2:
+        w, h = map(int, sys.argv[2].split("x"))
+    n_out, radius = 5, 16
 
     import os
     import jax
@@ -74,6 +83,9 @@ def main():
 
     chip = chip_pair_seconds(w, h, n_out, radius, k1=4, k2=12, repeats=1)
     print(f"chip       : {chip*1e3:8.3f} ms/pair", flush=True)
+    chip6 = chip_pair_seconds(w, h, 6, radius, k1=4, k2=12, repeats=1)
+    print(f"chip-b6    : {chip6*1e3:8.3f} ms/pair  (bucket-padded batch "
+          f"the engine runs)", flush=True)
 
     # warm the independent program + readback channel
     args0 = (frames[0].y, frames[0].uv, frames[1].y, frames[1].uv)
@@ -81,13 +93,14 @@ def main():
     np.asarray(uv.ravel()[-1:])
     rtt = _rtt()
 
-    def run(tag, body):
+    def run(tag, body, base=chip):
         t0 = time.perf_counter()
         last = body()
         np.asarray(last.ravel()[-1:])
         dt = (time.perf_counter() - t0 - rtt) / K
         print(f"{tag:11s}: {dt*1e3:8.3f} ms/pair "
-              f"(+{(dt-chip)*1e3:.3f} vs chip)", flush=True)
+              f"(+{(dt-base)*1e3:.3f} vs chip)", flush=True)
+        return dt
 
     def raw_const():
         last = None
@@ -96,26 +109,24 @@ def main():
             last = uv
         return last
 
-    def raw_ts():
-        last = None
-        for _ in range(K):
-            y, uv, blur, cut = step(*args0, jnp.asarray(ts_host), *knobs)
-            last = uv
-        return last
-
-    def raw_cycle():
+    def raw_cycle(keep=None):
         last = None
         for i in range(K):
             f1 = frames[i % 12]
             f2 = frames[i % 12 + 1]
             y, uv, blur, cut = step(f1.y, f1.uv, f2.y, f2.uv,
-                                    jnp.asarray(ts_host), *knobs)
+                                    ts_dev, *knobs)
+            if keep is not None:
+                keep.append((y, uv))
             last = uv
         return last
 
     run("raw-const", raw_const)
-    run("raw-ts", raw_ts)
     run("raw-cycle", raw_cycle)
+    run("raw-cycle2", raw_cycle)
+    kept = []
+    run("raw-keep", lambda: raw_cycle(keep=kept))
+    del kept
 
     # the real engine stream, bench conditions
     eng = InterpolationEngine(EngineConfig(
@@ -127,29 +138,38 @@ def main():
         outs.extend(eng.push(f))
     np.asarray(outs[-1].device_planes()[1].ravel()[-1:])
 
-    span = 12 / 24.0
     state = [frames[1].pts]
 
-    def engine_stream():
-        last = None
-        n = [0]
-        while n[0] < K:
-            for f in frames[2:]:
-                if n[0] >= K:
-                    break
-                state[0] += 1 / 24.0
-                got = eng.push(dataclasses.replace(f, pts=state[0]))
-                if got:
-                    n[0] += 1
-                    last = got[-1]
-        return last
+    def stream(n):
+        for i in range(n):
+            state[0] += 1 / 24.0
+            yield dataclasses.replace(frames[2 + i % 12], pts=state[0])
 
-    t0 = time.perf_counter()
-    last = engine_stream()
-    np.asarray(last.device_planes()[1].ravel()[-1:])
-    dt = (time.perf_counter() - t0 - rtt) / K
-    print(f"engine     : {dt*1e3:8.3f} ms/pair (+{(dt-chip)*1e3:.3f} "
-          f"vs chip)", flush=True)
+    def engine_push():
+        last = None
+        for f in stream(K):
+            got = eng.push(f)
+            if got:
+                last = got[-1]
+        return last.device_planes()[1]
+
+    run("push", engine_push, base=chip6)
+
+    # grouped: same engine semantics, one program per 8 pairs
+    eng2 = InterpolationEngine(EngineConfig(
+        display_fps=120.0, auto_quality=False, initial_search_radius=radius,
+        scene_detection=True, measure_timing=False, frame_output_mode=2,
+        model="hopper", background_precompile=False))
+    state[0] = 0.0
+    warm = list(stream(9))          # 1 passthrough + 8 pairs: compiles k=8
+    outs = eng2.push_many(warm, group_size=8)
+    np.asarray(outs[-1].device_planes()[1].ravel()[-1:])
+
+    def engine_group():
+        got = eng2.push_many(list(stream(K)), group_size=8)
+        return got[-1].device_planes()[1]
+
+    run("group8", engine_group, base=chip6)
     return 0
 
 
