@@ -35,6 +35,7 @@ _MAX_PIXELS = 1 << 27
 
 RAW_FOURCCS = {"I420": "i420", "IYUV": "i420", "NV12": "nv12"}
 MJPEG_FOURCCS = {"MJPG", "mjpg", "dmb1", "jpeg", "AVRn"}
+UTVIDEO_FOURCCS = {"ULY0", "ULY2", "ULH0", "ULH2"}
 
 
 class AVIError(ValueError):
@@ -53,6 +54,7 @@ class AVIReader:
         self.fps = 0.0
         self._stream_no: Optional[int] = None
         self._fourcc = ""
+        self._extradata = b""
         self._movi: Optional[Tuple[int, int]] = None  # (payload off, size)
         self._idx1: Optional[Tuple[int, int]] = None
         # (payload offset, payload size, pts seconds); size 0 = repeat
@@ -66,15 +68,28 @@ class AVIReader:
             self._layout = "mjpeg"
         elif self._fourcc in RAW_FOURCCS:
             self._layout = RAW_FOURCCS[self._fourcc]
+        elif self._fourcc in UTVIDEO_FOURCCS:
+            from mpv_frame_interpolator_tpu.io import utvideo as _ut
+            self._layout = "utvideo"
+            try:
+                self._ut_slices, interlaced = _ut.parse_extradata(
+                    self._extradata)
+            except _ut.UtVideoError as e:
+                raise AVIError(f"bad Ut Video stream header: {e}") \
+                    from None
+            if interlaced:
+                raise AVIError("interlaced Ut Video is not supported")
         else:
             raise AVIError(
                 f"stream codec {self._fourcc!r} needs an external decoder "
-                f"(MJPG and raw {sorted(RAW_FOURCCS)} decode natively)")
+                f"(MJPG, Ut Video {sorted(UTVIDEO_FOURCCS)} and raw "
+                f"{sorted(RAW_FOURCCS)} decode natively)")
         if not (0 < self.width <= _MAX_DIM and 0 < self.height <= _MAX_DIM
                 and self.width * self.height <= _MAX_PIXELS):
             raise AVIError(f"bad video dimensions "
                            f"{self.width}x{self.height}")
-        if (self.width % 2 or self.height % 2) and self._layout != "mjpeg":
+        if (self.width % 2 or self.height % 2) \
+                and self._layout not in ("mjpeg", "utvideo"):
             raise AVIError("4:2:0 requires even dimensions")
         if self.fps <= 0:
             self.fps = 25.0
@@ -143,20 +158,24 @@ class AVIReader:
             scale = rate = 0
             bi_fourcc = ""
             w = h = 0
+            extradata = b""
             for c4, coff, csize in self._chunks(off + 4, off + size):
                 fh.seek(coff)
-                data = fh.read(min(csize, 64))
+                data = fh.read(min(csize, 256))
                 if c4 == "strh" and len(data) >= 32:
                     fcc_type = data[:4].decode("latin1")
                     fcc_handler = data[4:8].decode("latin1")
                     scale = self._u32(data, 20)
                     rate = self._u32(data, 24)
                 elif c4 == "strf" and len(data) >= 24:
-                    # BITMAPINFOHEADER
+                    # BITMAPINFOHEADER (+ codec private data beyond the
+                    # 40 fixed bytes -- Ut Video parks its stream config
+                    # there, the VfW convention libavformat follows too)
                     w = struct.unpack_from("<i", data, 4)[0]
                     h = abs(struct.unpack_from("<i", data, 8)[0])
                     compression = data[16:20]
                     bi_fourcc = compression.decode("latin1")
+                    extradata = data[40:]
             if fcc_type == "vids" and self._stream_no is None:
                 self._stream_no = stream_no
                 self.width, self.height = w, h
@@ -164,6 +183,7 @@ class AVIReader:
                 # handler fourcc wins when strf compression is 0/DIB-ish
                 self._fourcc = bi_fourcc if bi_fourcc.strip("\0 ") \
                     else fcc_handler
+                self._extradata = extradata
 
     def _build_index(self):
         if self._movi is None:
@@ -251,6 +271,14 @@ class AVIReader:
                     f"MJPEG frame geometry {frame.fmt.width}x"
                     f"{frame.fmt.height} != stream {w}x{h}")
             return frame
+        if self._layout == "utvideo":
+            from mpv_frame_interpolator_tpu.io import utvideo as _ut
+            try:
+                y, uv = _ut.decode_to_nv12(data, self._fourcc, w, h,
+                                           self._ut_slices)
+            except ValueError as e:
+                raise AVIError(f"bad Ut Video frame: {e}") from None
+            return VideoFrame(y, uv, self.fmt, nominal_fps=self.fps)
         if len(data) < self._expected:
             raise AVIError(f"short frame payload ({len(data)} bytes, "
                            f"need {self._expected})")

@@ -109,6 +109,7 @@ def _read_uint(data: bytes) -> int:
 class _Track:
     number: int = 0
     codec_id: str = ""
+    codec_private: bytes = b""
     width: int = 0
     height: int = 0
     colour_space: bytes = b""
@@ -139,11 +140,29 @@ class MKVReader:
             # in-process baseline-JPEG decode (io/jpeg.py); every other
             # compressed codec still needs the external decoder
             self._layout = "mjpeg"
+        elif t.codec_id == "V_MS/VFW/FOURCC" and len(t.codec_private) >= 40:
+            # VfW shim: CodecPrivate = BITMAPINFOHEADER + codec extradata
+            # (how Ut Video rides Matroska)
+            from mpv_frame_interpolator_tpu.io import utvideo as _ut
+            vfw_fourcc = t.codec_private[16:20].decode("latin1")
+            if vfw_fourcc not in _ut.FOURCCS:
+                raise MKVError(
+                    f"VfW codec {vfw_fourcc!r} needs an external decoder")
+            self._layout = "utvideo"
+            self._ut_fourcc = vfw_fourcc
+            try:
+                self._ut_slices, interlaced = _ut.parse_extradata(
+                    t.codec_private[40:])
+            except _ut.UtVideoError as e:
+                raise MKVError(f"bad Ut Video stream header: {e}") \
+                    from None
+            if interlaced:
+                raise MKVError("interlaced Ut Video is not supported")
         elif t.codec_id != "V_UNCOMPRESSED":
             raise MKVError(
                 f"track codec {t.codec_id!r} needs an external decoder "
-                f"(V_UNCOMPRESSED and V_MJPEG are demuxed+decoded "
-                f"natively; see io/decode.py)")
+                f"(V_UNCOMPRESSED, V_MJPEG and VfW Ut Video are "
+                f"demuxed+decoded natively; see io/decode.py)")
         else:
             fourcc = t.colour_space.decode("ascii", "replace").strip("\0 ")
             if fourcc in ("I420", "IYUV", ""):
@@ -155,7 +174,8 @@ class MKVReader:
         if not (0 < t.width <= _MAX_DIM and 0 < t.height <= _MAX_DIM
                 and t.width * t.height <= _MAX_PIXELS):
             raise MKVError(f"bad video dimensions {t.width}x{t.height}")
-        if (t.width % 2 or t.height % 2) and self._layout != "mjpeg":
+        if (t.width % 2 or t.height % 2) \
+                and self._layout not in ("mjpeg", "utvideo"):
             raise MKVError("4:2:0 requires even dimensions")
         self.width, self.height = t.width, t.height
         self.fps = (1e9 / t.default_duration_ns
@@ -230,6 +250,8 @@ class MKVReader:
                     t.is_video = _read_uint(data) == 1
                 elif cid == CODEC_ID:
                     t.codec_id = data.decode("ascii", "replace")
+                elif cid == CODEC_PRIVATE:
+                    t.codec_private = data
                 elif cid == DEFAULT_DURATION:
                     t.default_duration_ns = _read_uint(data)
                 elif cid == VIDEO:
@@ -317,6 +339,14 @@ class MKVReader:
                     f"MJPEG frame geometry {frame.fmt.width}x"
                     f"{frame.fmt.height} != track {w}x{h}")
             return frame
+        if self._layout == "utvideo":
+            from mpv_frame_interpolator_tpu.io import utvideo as _ut
+            try:
+                y, uv = _ut.decode_to_nv12(data, self._ut_fourcc, w, h,
+                                           self._ut_slices)
+            except ValueError as e:
+                raise MKVError(f"bad Ut Video frame: {e}") from None
+            return VideoFrame(y, uv, self.fmt, nominal_fps=self.fps)
         if len(data) < self._expected:
             raise MKVError(f"short frame payload ({len(data)} bytes, "
                            f"need {self._expected})")

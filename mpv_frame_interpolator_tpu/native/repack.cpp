@@ -652,6 +652,7 @@ static PyTypeObject IndexedRingType = {
 };
 
 extern "C" PyObject* mfi_decode_jpeg(PyObject*, PyObject*);  // native/jpeg.cpp
+extern "C" PyObject* mfi_decode_utvideo(PyObject*, PyObject*);  // native/utvideo.cpp
 
 static PyMethodDef module_methods[] = {
     {"interleave_chroma", py_interleave, METH_VARARGS,
@@ -660,6 +661,8 @@ static PyMethodDef module_methods[] = {
      "deinterleave_chroma(uv, u, v): NV12 UV plane -> planar"},
     {"decode_jpeg", mfi_decode_jpeg, METH_VARARGS,
      "decode_jpeg(data) -> (w, h, y, u, v): baseline JPEG -> I420 planes"},
+    {"decode_utvideo", mfi_decode_utvideo, METH_VARARGS,
+     "decode_utvideo(data, fourcc, w, h, slices) -> (y, u, v) planes"},
     {nullptr, nullptr, 0, nullptr},
 };
 

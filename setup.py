@@ -13,7 +13,8 @@ setup(
         Extension(
             "mpv_frame_interpolator_tpu._mfi_native",
             sources=["mpv_frame_interpolator_tpu/native/repack.cpp",
-                     "mpv_frame_interpolator_tpu/native/jpeg.cpp"],
+                     "mpv_frame_interpolator_tpu/native/jpeg.cpp",
+                     "mpv_frame_interpolator_tpu/native/utvideo.cpp"],
             extra_compile_args=["-O3", "-std=c++17", "-Wall", "-pthread"],
             extra_link_args=["-pthread"],
             language="c++",

@@ -238,8 +238,10 @@ class TestMP4MJPEG:
 # -- AVI ------------------------------------------------------------------
 
 def build_avi(samples, w, h, fps=24.0, fourcc=b"MJPG", with_idx1=True,
-              abs_offsets=False, handler=None):
-    """Minimal AVI muxer: one video stream, 00dc chunks, optional idx1."""
+              abs_offsets=False, handler=None, extradata=b""):
+    """Minimal AVI muxer: one video stream, 00dc chunks, optional idx1.
+    `extradata` is appended after the 40-byte BITMAPINFOHEADER (the VfW
+    codec-private convention, e.g. Ut Video's 16-byte stream config)."""
     def chunk(four, payload):
         return four + struct.pack("<I", len(payload)) + payload \
             + (b"\x00" if len(payload) & 1 else b"")
@@ -253,8 +255,8 @@ def build_avi(samples, w, h, fps=24.0, fourcc=b"MJPG", with_idx1=True,
             + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1000,
                           int(fps * 1000), 0, len(samples), 0, 0, 0)
             + struct.pack("<HHHH", 0, 0, w, h))
-    strf = struct.pack("<iiiHH4sIiiII", 40, w, h, 1, 24, fourcc,
-                       w * h * 3, 0, 0, 0, 0)
+    strf = struct.pack("<iiiHH4sIiiII", 40 + len(extradata), w, h, 1, 24,
+                       fourcc, w * h * 3, 0, 0, 0, 0) + extradata
     hdrl = lst(b"hdrl", chunk(b"avih", avih)
                + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
     movi_payload = b"movi"

@@ -50,7 +50,7 @@ def simple_block(track: int, rel_ts: int, data: bytes) -> bytes:
 
 def build_mkv(frames, w, h, fps=24.0, codec=b"V_UNCOMPRESSED",
               colour=b"I420", layout="i420", per_cluster=3,
-              payloads=None):
+              payloads=None, codec_private=b""):
     ts_scale = 1000000           # 1 ms ticks
     dur_ns = int(1e9 / fps)
     header = elem(0x1A45DFA3, uint_elem(0x4286, 1))      # EBMLVersion 1
@@ -58,7 +58,9 @@ def build_mkv(frames, w, h, fps=24.0, codec=b"V_UNCOMPRESSED",
     video = elem(0xE0, uint_elem(0xB0, w) + uint_elem(0xBA, h)
                  + elem(0x2EB524, colour))
     track = elem(0xAE, uint_elem(0xD7, 1) + uint_elem(0x83, 1)
-                 + elem(0x86, codec) + uint_elem(0x23E383, dur_ns) + video)
+                 + elem(0x86, codec)
+                 + (elem(0x63A2, codec_private) if codec_private else b"")
+                 + uint_elem(0x23E383, dur_ns) + video)
     tracks = elem(0x1654AE6B, track)
 
     def payload(f):
