@@ -58,11 +58,18 @@ def run(label, env_over, quick=False):
 
 def main():
     quick = "--quick" in sys.argv
+    out_path = None
+    if "--out" in sys.argv:
+        out_path = sys.argv[sys.argv.index("--out") + 1]
     rows = []
     for label, env_over in CONFIGS:
         data = run(label, env_over, quick)
         rows.append(data)
         print(json.dumps(data), flush=True)
+        if out_path:                 # write incrementally: a sick tunnel
+            with open(out_path, "w") as fh:   # must not lose prior rows
+                for d in rows:
+                    fh.write(json.dumps(d) + "\n")
     print()
     print(f"{'config':>28} {'out-fps':>10} {'sync':>18}")
     for d in rows:
