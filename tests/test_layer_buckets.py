@@ -97,4 +97,6 @@ def test_bucket_warm_specs_tracked():
         display_fps=60.0, auto_quality=False, initial_search_radius=5,
         measure_timing=False, background_precompile=False))
     _run(e, frames)
-    assert all(len(spec) == 4 and spec[3] == 5 for spec in e._warm)
+    # spec = (mode, n_batch, model, layers, degrade level)
+    assert all(len(spec) == 5 and spec[3] == 5 and spec[4] == 0
+               for spec in e._warm)
