@@ -35,6 +35,10 @@ Env knobs:
                      (BASELINE config #3; on this sandbox the host->device
                      relay (~50MB/s) is the bottleneck, not the framework)
   MFI_BENCH_SKIP_PARITY=1 / MFI_BENCH_SKIP_DEFAULT=1  trim extras
+  MFI_BENCH_GROUP=K  pair-grouped dispatch (engine.push_many, K pairs
+                     per device program): amortizes the relay's fixed
+                     ~56ms memo-miss cost K-ways (ARCHITECTURE §3 law;
+                     a throughput win below 4K, law-neutral at 4K)
 """
 
 import json
@@ -124,7 +128,7 @@ def _warm_readback(timeout=240.0) -> bool:
     return _honest_sync(jnp.zeros((8,), jnp.uint8), timeout=timeout)
 
 
-def measure_staged(engine, frames, warmup, passes=10):
+def measure_staged(engine, frames, warmup, passes=10, group=1):
     """Per-pair dispatch over device-staged sources, timed against REAL
     device completion: push `passes` repetitions of the source span
     (pts-shifted; identical per-pair plans, so no new compiles), then one
@@ -136,11 +140,19 @@ def measure_staged(engine, frames, warmup, passes=10):
     numbers made with it overstate the chip; these do not.
 
     Latency views (dispatch-paced, kept for the host-overhead signal):
-    block = per-output ack; e2e = source arrival -> output ack."""
+    block = per-output ack; e2e = source arrival -> output ack.
+
+    With group > 1 the honest passes ride engine.push_many (pair-grouped
+    dispatch): one device program per `group` pairs amortizes the
+    relay's fixed ~56ms memo-miss cost (ARCHITECTURE §3 dispatch-cost
+    law) -- a win below 4K where outputs sit under the floor."""
     import dataclasses
     outs = []
-    for f in frames[:warmup]:
-        outs.extend(engine.push(f))
+    if group > 1:
+        outs.extend(engine.push_many(frames[:warmup], group_size=group))
+    else:
+        for f in frames[:warmup]:
+            outs.extend(engine.push(f))
     acks_ok = all(_ack(o, timeout=60.0) for o in outs[-2:])
     honest = acks_ok and _warm_readback()
     honest = honest and bool(outs) \
@@ -187,6 +199,12 @@ def measure_staged(engine, frames, warmup, passes=10):
         last = None
         t0 = time.perf_counter()
         for _p in range(passes):
+            if group > 1:
+                gouts = engine.push_many(list(sub_pass()), group_size=group)
+                n_out += len(gouts)
+                if gouts:
+                    last = gouts[-1]
+                continue
             for f in sub_pass():
                 outs = engine.push(f)
                 n_out += len(outs)
@@ -238,6 +256,7 @@ def main():
     mode = int(os.environ.get("MFI_BENCH_MODE", 2))
     model = os.environ.get("MFI_BENCH_MODEL", "hopper")
     streaming = bool(int(os.environ.get("MFI_BENCH_STREAMING", "0")))
+    group = max(int(os.environ.get("MFI_BENCH_GROUP", "1")), 1)
     warmup = 6
 
     from mpv_frame_interpolator_tpu.io import synthetic
@@ -280,8 +299,10 @@ def main():
         engine = build_engine(dst_fps, radius, mode, model,
                               measure_timing=False)
         n_out, fps, lat_block, lat_e2e, sync_kind = measure_staged(
-            engine, frames, warmup)
+            engine, frames, warmup, group=group)
         extras["sync"] = sync_kind
+        if group > 1:
+            extras["push_many_group"] = group
 
         if lat_e2e and not int(os.environ.get("MFI_BENCH_SKIP_DEFAULT",
                                               "0")):
@@ -407,6 +428,19 @@ def main():
         extras["e2e_ms_per_pair"] = round(e2e_ms, 3)
         extras["host_gap_ms_per_pair"] = round(
             e2e_ms - extras["chip_ms_per_pair"], 3)
+        # reconcile against the measured relay dispatch-cost law
+        # (ARCHITECTURE §3, tools/relay_probe*.py): a non-memoized
+        # dispatch costs ~max(56ms fixed, fresh output bytes / 1.1GB/s);
+        # push_many amortizes the fixed part k-ways (a win below 4K,
+        # law-neutral at 4K where a pair's 62MB output set sits at the
+        # floor).
+        bpp = 3 if p010 else 1.5
+        out_mb = per_pair_out * width * height * bpp / 1e6
+        disp = max(group, 1)
+        floor_ms = max(56.0, out_mb * disp / 1.1) / disp
+        extras["relay_floor_ms_per_pair"] = round(floor_ms, 1)
+        extras["host_gap_attributed"] = bool(
+            extras["host_gap_ms_per_pair"] <= 1.35 * floor_ms + 6.0)
         try:
             span = (len(frames) - warmup) / max(src_fps, 1e-6)
             t0 = time.perf_counter()
@@ -474,6 +508,7 @@ def main():
         "metric": f"interpolated frames/sec, {width}x{height}"
                   f"{' p010' if p010 else ''} {src_fps:g}->{dst_fps:g} "
                   f"(mode {mode}, {model}, radius {radius}"
+                  f"{f', grouped x{group}' if group > 1 else ''}"
                   f"{', streaming-e2e' if streaming else ''})",
         "value": round(fps, 2),
         "unit": "frames/sec",

@@ -25,6 +25,18 @@ CONFIGS = [
                              "MFI_BENCH_HEIGHT": "1080",
                              "MFI_BENCH_SRC_FPS": "25",
                              "MFI_BENCH_DST_FPS": "60"}),
+    # pair-grouped dispatch (engine.push_many): amortizes the relay's
+    # fixed ~56ms memo-miss cost 8 ways -- the transcode/serving path
+    ("1080p 24->60 grouped x8", {"MFI_BENCH_WIDTH": "1920",
+                                 "MFI_BENCH_HEIGHT": "1080",
+                                 "MFI_BENCH_DST_FPS": "60",
+                                 "MFI_BENCH_GROUP": "8",
+                                 "MFI_BENCH_SKIP_P99": "1"}),
+    ("640x360 24->60 grouped x8", {"MFI_BENCH_WIDTH": "640",
+                                   "MFI_BENCH_HEIGHT": "360",
+                                   "MFI_BENCH_DST_FPS": "60",
+                                   "MFI_BENCH_GROUP": "8",
+                                   "MFI_BENCH_SKIP_P99": "1"}),
     ("4K 24->120 (headline)", {}),
     ("4K P010 24->120",     {"MFI_BENCH_P010": "1"}),
     ("4K P010 hopperxq 24->120", {"MFI_BENCH_P010": "1",
