@@ -206,12 +206,25 @@ def _remap_axis(plane, mapping: np.ndarray, axis: int):
     return jnp.concatenate(parts, axis=axis) if len(parts) > 1 else parts[0]
 
 
-def _mirror_padded(plane, B: int, dim_y: int, dim_x: int):
+def _mirror_padded(plane, B: int, dim_y: int, dim_x: int,
+                   out_y: int = None, out_x: int = None):
     """(dim_y+2B, dim_x+2B) plane where padded[B+q, B+r] ==
-    plane[mirror_edge2(q), mirror_edge2(r)] for q,r in [-B, dim-1+B]."""
+    plane[mirror_edge2(q), mirror_edge2(r)] for q,r in [-B, dim-1+B].
+
+    out_y/out_x grow the result to a larger target (the Pallas kernels'
+    tile-grid over-pad) in the SAME remap pass -- the extension repeats
+    an edge row/column, is never selected by any sampler (it lies beyond
+    dim + 2B), and saves the second full-plane copy that padding the
+    padded plane again would cost."""
     p = plane[:dim_y, :dim_x]
-    p = _remap_axis(p, _mirror_map(B, dim_y), 0)
-    return _remap_axis(p, _mirror_map(B, dim_x), 1)
+    my = _mirror_map(B, dim_y)
+    mx = _mirror_map(B, dim_x)
+    if out_y is not None and out_y > len(my):
+        my = np.concatenate([my, np.full(out_y - len(my), my[-1])])
+    if out_x is not None and out_x > len(mx):
+        mx = np.concatenate([mx, np.full(out_x - len(mx), mx[-1])])
+    p = _remap_axis(p, my, 0)
+    return _remap_axis(p, mx, 1)
 
 
 def _index_field(key_lo, vals, D):
@@ -337,16 +350,35 @@ def _sampler_prep(geom, fields, f1y, f1u, f1v, f2y, f2u, f2v,
         return (jnp.where(good, vy, 0).astype(jnp.float32),
                 jnp.where(good, vx, 0).astype(jnp.float32), good)
 
-    p1 = _mirror_padded(f1y, B, H, Wa)
-    p2 = _mirror_padded(f2y, B, H, Wa)
+    # when the fused/pair kernels are active, mirror-pad DIRECTLY at
+    # their tile-grid over-padded geometry (one remap pass instead of
+    # pad-then-pad-again); the samplers' dynamic slices read the same
+    # leading region either way, so the over-padded planes serve both
+    # the kernels AND the XLA fallback branch
+    if fused:
+        from mpv_frame_interpolator_tpu.ops.pallas import warp_fused as WF
+        from mpv_frame_interpolator_tpu.ops.pallas.warp_sample import (
+            _AX as _WAX, _AY as _WAY)
+        nty_l, ntx_l = WF.luma_grid(H, Wa)
+        oy_l = nty_l * WF.TILE_Y + 2 * B + _WAY
+        ox_l = ntx_l * WF.TILE_Y + 2 * B + _WAX
+        nty_c, ntx_c = WF.chroma_grid(hc, Wa)
+        oy_c = nty_c * WF.TILE_CR + 2 * B + _WAY
+        ox_c = ntx_c * WF.TILE_CC + 2 * B + _WAX
+    else:
+        oy_l = ox_l = oy_c = ox_c = None
+    p1 = _mirror_padded(f1y, B, H, Wa, oy_l, ox_l)
+    p2 = _mirror_padded(f2y, B, H, Wa, oy_l, ox_l)
 
     def cpad2(u, v):
         # full-width chroma domain (each sample doubled) so the kernel's
         # mirror-then->>1 addressing becomes plain indexing; u and v
         # stack so one slice serves both (_shift_sample_uv)
         return jnp.stack([
-            _mirror_padded(jnp.repeat(u[:, :wc], 2, axis=1), B, hc, Wa),
-            _mirror_padded(jnp.repeat(v[:, :wc], 2, axis=1), B, hc, Wa)])
+            _mirror_padded(jnp.repeat(u[:, :wc], 2, axis=1), B, hc, Wa,
+                           oy_c, ox_c),
+            _mirror_padded(jnp.repeat(v[:, :wc], 2, axis=1), B, hc, Wa,
+                           oy_c, ox_c)])
 
     def cpad2_half(u, v):
         # bilinear chroma samples in the HALF-width chroma domain
@@ -391,10 +423,12 @@ def _sampler_prep(geom, fields, f1y, f1u, f1v, f2y, f2u, f2v,
         nty, ntx = WF.luma_grid(H, Wa)
         ntyc, ntxc = WF.chroma_grid(hc, Wa)
         prep.update({
-            "P1T": WF.pad_source_luma(p1, H, Wa),
-            "P2T": WF.pad_source_luma(p2, H, Wa),
-            "C1T": WF.pad_source_chroma(c1, hc, Wa),
-            "C2T": WF.pad_source_chroma(c2, hc, Wa),
+            # already mirror-padded AT tile-grid geometry above (the
+            # oy_l/ox_l extension): aliases, not copies
+            "P1T": p1,
+            "P2T": p2,
+            "C1T": c1,
+            "C2T": c2,
             "IT12": WF.pad_index(prep["IF12"], nty * WF.TILE_Y,
                                  ntx * WF.TILE_Y),
             "IT21": WF.pad_index(prep["IF21"], nty * WF.TILE_Y,
@@ -511,9 +545,10 @@ def _bilinear_all_planes(geom, fields, f1y, f1u, f1v, f2y, f2u, f2v,
         return s12q, s21q, cu12, cu21
 
     def gather_branch(_):
+        flds = _ensure_full_fields(geom, fields)
         cyg, cxg = jnp.mgrid[0:H, 0:Wa]
-        OX12, OY12 = fields["OX12"], fields["OY12"]
-        OX21, OY21 = fields["OX21"], fields["OY21"]
+        OX12, OY12 = flds["OX12"], flds["OY12"]
+        OX21, OY21 = flds["OX21"], flds["OY21"]
         p12x = (cxg << 6) + _iround(OX12.astype(jnp.float32) * (fs12 * 64))
         p12y = (cyg << 6) + _iround(OY12.astype(jnp.float32) * (fs12 * 64))
         p21x = (cxg << 6) - _iround(OX21.astype(jnp.float32) * (fs21 * 64))
@@ -521,8 +556,8 @@ def _bilinear_all_planes(geom, fields, f1y, f1u, f1v, f2y, f2u, f2v,
         s12q = _bilinear_sample(f1y, p12y, p12x, H, Wa)
         s21q = _bilinear_sample(f2y, p21y, p21x, H, Wa)
         cyg, cxg = jnp.mgrid[0:hc, 0:Wa]
-        OX12c, OY12c = fields["OX12c"], fields["OY12c"]
-        OX21c, OY21c = fields["OX21c"], fields["OY21c"]
+        OX12c, OY12c = flds["OX12c"], flds["OY12c"]
+        OX21c, OY21c = flds["OX21c"], flds["OY21c"]
         pxg = (cxg >> 1) << 6
         pyg = cyg << 6
         p12x = pxg + _iround(OX12c.astype(jnp.float32) * (fs12 * 32))
@@ -606,11 +641,13 @@ def _sample_all_planes(geom, fields, f1y, f1u, f1v, f2y, f2u, f2v,
         return s12, s21, su12, su21, sv12, sv21
 
     def gather_branch(_):
-        # coordinate fields built INSIDE the branch: the shift path never
-        # pays for the fallback's per-pixel round/mirror math
+        # coordinate AND full-res flow fields built INSIDE the branch:
+        # the shift path never pays for the fallback's per-pixel
+        # round/mirror math or the 8 full-res upsamples
+        flds = _ensure_full_fields(geom, fields)
         cyg, cxg = jnp.mgrid[0:H, 0:Wa]
-        OX12, OY12 = fields["OX12"], fields["OY12"]
-        OX21, OY21 = fields["OX21"], fields["OY21"]
+        OX12, OY12 = flds["OX12"], flds["OY12"]
+        OX21, OY21 = flds["OX21"], flds["OY21"]
         ncx12 = mirror_edge2(
             cxg + _iround(OX12.astype(jnp.float32) * fs12), Wa)
         ncy12 = mirror_edge2(
@@ -621,8 +658,8 @@ def _sample_all_planes(geom, fields, f1y, f1u, f1v, f2y, f2u, f2v,
             cyg - _iround(OY21.astype(jnp.float32) * fs21), H)
         s12 = _gather(f1y, ncy12, ncx12)
         s21 = _gather(f2y, ncy21, ncx21)
-        OX12c, OY12c = fields["OX12c"], fields["OY12c"]
-        OX21c, OY21c = fields["OX21c"], fields["OY21c"]
+        OX12c, OY12c = flds["OX12c"], flds["OY12c"]
+        OX21c, OY21c = flds["OX21c"], flds["OY21c"]
         cyg, cxg = jnp.mgrid[0:hc, 0:Wa]
         cx12 = mirror_edge2(cxg + _iround(OX12c.astype(jnp.float32) * fs12),
                             Wa)
@@ -781,7 +818,28 @@ def _visualize_flow(off_x, off_y, curr_8, channel: int, res_impact: int):
                               0.0, 255.0)).astype(jnp.int32)
 
 
-def _warp_fields(geom: FlowGeometry, blurred, frac=None):
+def _ensure_full_fields(geom: FlowGeometry, fields):
+    """Full-res upsampled flow fields, built lazily from the low-res
+    set when _warp_fields was called with full_res=False.  Idempotent;
+    returns a new dict (never mutates the shared per-pair fields)."""
+    if "OX12" in fields:
+        return fields
+    out = dict(fields)
+    out.update({
+        "OX12": _upsample_y(geom, fields["OX12l"]),
+        "OY12": _upsample_y(geom, fields["OY12l"]),
+        "OX21": _upsample_y(geom, fields["OX21l"]),
+        "OY21": _upsample_y(geom, fields["OY21l"]),
+        "OX12c": _upsample_uv(geom, fields["OX12l"]),
+        "OY12c": _upsample_uv(geom, fields["OY12l"]),
+        "OX21c": _upsample_uv(geom, fields["OX21l"]),
+        "OY21c": _upsample_uv(geom, fields["OY21l"]),
+    })
+    return out
+
+
+def _warp_fields(geom: FlowGeometry, blurred, frac=None,
+                 full_res: bool = True):
     """The t-independent part of the warp: forward + reverse flow sampled
     onto the luma and chroma output grids.  Shared across all blend
     positions of one source pair (one flow calc serves numIntFrames warps,
@@ -790,7 +848,16 @@ def _warp_fields(geom: FlowGeometry, blurred, frac=None):
     `frac` is the optional (2, lh, lw) 1/64-pel refinement field
     (ops/flow.subpel_refine); its reverse lookup rides the SAME low-res
     positions as the integer reverse flow, and it is upsampled onto the
-    same output grids (FX12/FY12/... keys)."""
+    same output grids (FX12/FY12/... keys).
+
+    full_res=False skips the eight FULL-RES upsampled fields: the
+    shift-decomposed samplers never read them on their hot path (they
+    ride the low-res tables + index fields), so building them
+    unconditionally was pure prep cost (~8 frame-sized writes per pair).
+    Consumers that do need them -- the gather fallbacks, GREY/HSV modes
+    -- rebuild them lazily via _ensure_full_fields (inside their
+    runtime-cond branch, so the cost is only paid when that branch
+    executes)."""
     lh, lw, rs = geom.low_h, geom.low_w, geom.res_scalar
     ox12, oy12 = blurred[0], blurred[1]
     ly, lx = jnp.mgrid[0:lh, 0:lw]
@@ -799,18 +866,12 @@ def _warp_fields(geom: FlowGeometry, blurred, frac=None):
     ox21_lo = _gather(ox12, bscy, bscx)
     oy21_lo = _gather(oy12, bscy, bscx)
     fields = {
-        "OX12": _upsample_y(geom, blurred[0]),
-        "OY12": _upsample_y(geom, blurred[1]),
-        "OX21": _upsample_y(geom, ox21_lo),
-        "OY21": _upsample_y(geom, oy21_lo),
-        "OX12c": _upsample_uv(geom, blurred[0]),
-        "OY12c": _upsample_uv(geom, blurred[1]),
-        "OX21c": _upsample_uv(geom, ox21_lo),
-        "OY21c": _upsample_uv(geom, oy21_lo),
         # low-res fields for the shift-decomposed sampler (few distinct
         # values live here; see _shift_sample)
         "OX12l": ox12, "OY12l": oy12, "OX21l": ox21_lo, "OY21l": oy21_lo,
     }
+    if full_res:
+        fields = _ensure_full_fields(geom, fields)
     if frac is not None:
         fx12, fy12 = frac[0], frac[1]
         fx21_lo = _gather(fx12, bscy, bscx)
@@ -864,15 +925,13 @@ def _warp_sample(geom: FlowGeometry, mode: int, scale_shift: int, dtype,
     fs21 = (1.0 - t).astype(jnp.float32)
     mid = 128 << scale_shift
 
-    OX12, OY12 = fields["OX12"], fields["OY12"]
-
     if mode == GREY_FLOW:
+        flds = _ensure_full_fields(geom, fields)
+        OX12, OY12 = flds["OX12"], flds["OY12"]
         grey = jnp.minimum((jnp.abs(OX12) + jnp.abs(OY12)) << 2, 255)
         out_y = (grey << scale_shift).astype(dtype)
         cu = jnp.full((H // 2, Wa // 2), mid, dtype)
         return out_y, cu, cu
-
-    OX21, OY21 = fields["OX21"], fields["OY21"]
 
     use_bilinear = bilinear and mode == BLENDED_FRAME
     # "pallas" = shift decomposition with the tiled kernel on the luma
@@ -880,7 +939,10 @@ def _warp_sample(geom: FlowGeometry, mode: int, scale_shift: int, dtype,
     # whose host-callback custom-call makes the enclosing program
     # unserializable -- same gate as ops/flow's pallas_blur)
     use_pallas = sampling == "pallas" and jax.default_backend() == "tpu"
-    shiftlike = sampling in ("shift", "pallas")
+    # "fused"/"pair" are whole-plane kernel selections handled by the
+    # engine; a mode/family they don't cover demotes to the shift
+    # sampler here (NOT the gather path)
+    shiftlike = sampling in ("shift", "pallas", "fused", "pair")
     use_shift = (shiftlike and not use_bilinear
                  and "OX12l" in fields
                  and mode in (WARPED_FRAME_12, WARPED_FRAME_21,
@@ -893,6 +955,13 @@ def _warp_sample(geom: FlowGeometry, mode: int, scale_shift: int, dtype,
     # the reference's rounded+mirrored coordinate fields, built only for
     # the paths that gather with them (the shift samplers never touch
     # them; their runtime fallbacks build their own inside the cond)
+    # full-res fields built lazily: the shift paths' hot branch never
+    # reads them (GREY/HSV and the gather compositions do; the shift
+    # samplers' runtime fallbacks rebuild them inside their cond)
+    if mode == HSV_FLOW or not (use_shift or use_bshift):
+        fields = _ensure_full_fields(geom, fields)
+        OX12, OY12 = fields["OX12"], fields["OY12"]
+        OX21, OY21 = fields["OX21"], fields["OY21"]
     ncy12 = ncx12 = ncy21 = ncx21 = None
     if not use_shift and not use_bilinear:
         cyg, cxg = jnp.mgrid[0:H, 0:Wa]
@@ -973,12 +1042,11 @@ def _warp_sample(geom: FlowGeometry, mode: int, scale_shift: int, dtype,
     out_y = out_y.astype(dtype)
 
     # ---------------- chroma pass (cz = 1) ----------------
-    OX12c, OY12c = fields["OX12c"], fields["OY12c"]
-    OX21c, OY21c = fields["OX21c"], fields["OY21c"]
-
     hc = H >> 1
     cyg, cxg = jnp.mgrid[0:hc, 0:Wa]
     if not use_shift and not use_bilinear:
+        OX12c, OY12c = fields["OX12c"], fields["OY12c"]
+        OX21c, OY21c = fields["OX21c"], fields["OY21c"]
         ncx12 = mirror_edge2(
             cxg + _iround(OX12c.astype(jnp.float32) * fs12), Wa)
         ncy12 = mirror_edge2(
@@ -1021,6 +1089,8 @@ def _warp_sample(geom: FlowGeometry, mode: int, scale_shift: int, dtype,
     elif use_bilinear:
         # planar chroma space: horizontal displacement is off_x/2 chroma
         # samples, vertical off_y/2 chroma rows
+        OX12c, OY12c = fields["OX12c"], fields["OY12c"]
+        OX21c, OY21c = fields["OX21c"], fields["OY21c"]
         pxg = (cxg >> 1) << 6
         pyg = cyg << 6
         if "FX12c" in fields:
@@ -1075,6 +1145,7 @@ def _warp_sample(geom: FlowGeometry, mode: int, scale_shift: int, dtype,
             bu = _occlusion_adjust(bu, su12, su21, fs12, scale_shift)
             bv = _occlusion_adjust(bv, sv12, sv21, fs12, scale_shift)
         if mode == HSV_FLOW:
+            OX12c, OY12c = fields["OX12c"], fields["OY12c"]
             res_impact = 4 if rs <= 2 else 1
             bu8 = (bu >> scale_shift) if scale_shift else bu
             bv8 = (bv >> scale_shift) if scale_shift else bv

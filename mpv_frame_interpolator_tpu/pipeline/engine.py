@@ -257,10 +257,10 @@ class EngineConfig:
             raise ValueError("batch_shapes must be exact|bucket")
         if self.warp_loop not in ("vmap", "scan"):
             raise ValueError("warp_loop must be vmap|scan")
-        if self.warp_sampling not in ("shift", "gather", "pallas",
+        if self.warp_sampling not in ("shift", "gather", "pallas", "pair",
                                       "fused"):
             raise ValueError(
-                "warp_sampling must be shift|gather|pallas|fused")
+                "warp_sampling must be shift|gather|pallas|pair|fused")
         if self.flow_kernel not in ("xla", "pallas"):
             raise ValueError("flow_kernel must be xla|pallas")
         if self.timing_source not in ("auto", "block", "amortized"):
@@ -491,7 +491,7 @@ def _warp_stage(geom, mode, scale_shift, cut_policy, scene_enabled, model,
         ts_w = jnp.where(ts_w >= 0.5, 1.0, 0.0).astype(jnp.float32)
 
     bilinear = model in ("hopperq", "hopperxq")
-    shiftlike = warp_sampling in ("shift", "pallas", "fused")
+    shiftlike = warp_sampling in ("shift", "pallas", "fused", "pair")
     shift_active = (shiftlike and not bilinear and mode in (0, 1, 2, 3))
     # fused whole-output kernel (ops/pallas/warp_fused.py): blended
     # mode, nearest families, no occlusion pass, integer flow, TPU.
@@ -503,6 +503,19 @@ def _warp_stage(geom, mode, scale_shift, cut_policy, scene_enabled, model,
                     and model not in ("hopperx", "hopperxq")
                     and frac is None
                     and jax.default_backend() == "tpu")
+    # whole-pair packed kernel (ops/pallas/warp_pair.py): blended mode,
+    # nearest families, 8-bit NV12, integer flow, TPU (interpret mode
+    # only under MFI_PAIR_INTERPRET=1 for the CPU equality tests --
+    # interpret kernels embed host callbacks that break program
+    # serialization, same gate rationale as "fused")
+    pair_active = (warp_sampling == "pair"
+                   and mode == warp_ops.BLENDED_FRAME
+                   and not bilinear
+                   and model not in ("hopperx", "hopperxq")
+                   and frac is None
+                   and scale_shift == 0
+                   and (jax.default_backend() == "tpu"
+                        or _os_env.get("MFI_PAIR_INTERPRET") == "1"))
     # bilinear families ride the 1/64-pel shift sampler (ops/warp.
     # _bilinear_all_planes) except under measured sub-pel flow, whose
     # per-pixel refinement defeats the few-distinct-values structure
@@ -518,14 +531,49 @@ def _warp_stage(geom, mode, scale_shift, cut_policy, scene_enabled, model,
                 f1y, f1u, f1v, f2y, f2u, f2v, blurred_w, t, black, white)
         y, u, v = loop(one, ts_w)
     else:
-        fields = warp_ops._warp_fields(geom, blurred_w, frac)
+        # lean fields: the shift/pair hot paths never read the 8
+        # full-res upsampled flow planes (their gather fallbacks
+        # rebuild them lazily inside the runtime cond); building them
+        # per pair was pure prep cost.  GREY/HSV and plain-gather
+        # sampling still get them eagerly.
+        lean = ((shift_active or bshift_active)
+                and mode in (warp_ops.WARPED_FRAME_12,
+                             warp_ops.WARPED_FRAME_21,
+                             warp_ops.BLENDED_FRAME)
+                and frac is None)
+        fields = warp_ops._warp_fields(geom, blurred_w, frac,
+                                       full_res=not lean)
         if shift_active or bshift_active:
             # t-independent sampler prep (padded sources + distinct flow
             # tables + index fields) hoisted out of the per-position
             # loop: ONE extraction and padding serves every output
             fields["SPREP"] = warp_ops._sampler_prep(
                 geom, fields, f1y, f1u, f1v, f2y, f2u, f2v,
-                bilinear=bilinear, fused=fused_active)
+                bilinear=bilinear, fused=fused_active or pair_active)
+
+        if pair_active:
+            from mpv_frame_interpolator_tpu.ops.pallas import warp_pair
+            prep = fields["SPREP"]
+            defaults = ((jnp.round(black).astype(jnp.int32) == 0)
+                        & (jnp.round(white).astype(jnp.int32) == 255))
+            sel = prep["ok"] & defaults
+
+            def pair_branch(_):
+                return warp_pair.blended_pair_from_prep(
+                    geom, prep, ts_w, scale_shift)
+
+            def plain_loop(_):
+                def one_s(t):
+                    yy, uu, vv = warp_ops._warp_sample(
+                        geom, mode, scale_shift, dtype,
+                        f1y, f1u, f1v, f2y, f2u, f2v, fields, t,
+                        black, white, sampling="shift")
+                    ch, cw = uu.shape
+                    return yy, jnp.stack((uu, vv), axis=2).reshape(
+                        ch, cw * 2)
+                return jax.lax.map(one_s, ts_w)
+
+            return jax.lax.cond(sel, pair_branch, plain_loop, None)
 
         if fused_active:
             from mpv_frame_interpolator_tpu.ops.pallas import warp_fused
