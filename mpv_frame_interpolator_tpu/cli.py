@@ -129,6 +129,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="how the per-pair warp batch is expressed in the "
                         "fused program (bit-identical outputs; compile-time "
                         "tradeoff knob)")
+    p.add_argument("--warp-sampling", default="pair",
+                   choices=("pair", "shift", "gather", "pallas", "fused"),
+                   help="warp sampler: pair = whole-pair packed Pallas "
+                        "kernel (default; bit-exact, ~1.7x the shift "
+                        "sampler's warp stage at 4K; ineligible modes "
+                        "demote to shift), shift = shift-decomposed XLA "
+                        "sampler, gather = per-pixel gather (round-1 "
+                        "design)")
     p.add_argument("--timing-source", default="auto",
                    choices=("auto", "block", "amortized"),
                    help="how the compute time fed to the auto-quality "
@@ -485,6 +493,7 @@ def main(argv=None) -> int:
         model=args.model,
         subpel_flow=args.subpel_flow,
         warp_loop=args.warp_loop,
+        warp_sampling=args.warp_sampling,
         timing_source=args.timing_source,
         layer_buckets=tuple(int(b) for b in args.layer_buckets.split(",")
                             if b.strip()),

@@ -107,7 +107,7 @@ def _sample_dir_packed(t, ti, tj, T_r, T_c, vals_ref, koff, masks_ref,
         word = masks_ref[t * _NW + (k >> 5)]
         present = (word >> (k & 31)) & 1
 
-        @pl.when((k < dcount) & (present == 1))
+        @pl.when(present == 1)
         def _():
             v = vals_ref[koff + k]
             dy = v // _SPAN - _B
@@ -140,7 +140,11 @@ def _sample_dir_packed(t, ti, tj, T_r, T_c, vals_ref, koff, masks_ref,
             acc_ref[:] = pltpu.bitcast((a & ~bm) | (val & bm), jnp.int32)
         return carry
 
-    jax.lax.fori_loop(0, _K, body, 0)
+    # dynamic trip count: only the D live table entries iterate (a
+    # static 0.._K loop costs ~40us of dead scalar iterations per tile
+    # at the usual D of 1-3 -- it measured as most of the kernel's
+    # fixed cost, tools/warp_pair_breakdown.py)
+    jax.lax.fori_loop(0, dcount, body, 0)
 
 
 def _make_kernel(ntx: int, T_r: int, T_c: int, n_out: int, frac: int,

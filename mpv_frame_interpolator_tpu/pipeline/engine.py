@@ -174,16 +174,26 @@ class EngineConfig:
     # for re-measurement on future hardware.
     warp_loop: str = "vmap"
     # warp source sampling for the nearest families:
-    #   "shift"  = shift-decomposed exact sampler (default; ~50x on real
+    #   "pair"   = whole-pair packed Pallas kernel (default): every
+    #              blend position of the blended 8-bit warp in one luma
+    #              + one chroma launch, shifts/selects in the packed
+    #              byte domain (ops/pallas/warp_pair.py; bit-exact.
+    #              Warp STAGE at 4K 8.9 -> 5.1 ms/pair; whole fused
+    #              pair 4K ~23.7 -> ~20.5, 8K 47.5 -> 38.7, 1080p
+    #              15.7 -> 14.6 -- flow now dominates the pair).
+    #              Non-blended modes, P010, subpel and non-TPU
+    #              backends demote to the shift sampler; pathological
+    #              fields fall back to the gather program AT RUNTIME
+    #   "shift"  = shift-decomposed exact sampler (~50x on real
     #              content -- the chip's gather runs at ~10ns/element,
-    #              ARCHITECTURE §3 honest-timing revision; falls back to
-    #              the gather program AT RUNTIME on pathological fields)
+    #              ARCHITECTURE §3 honest-timing revision; same runtime
+    #              gather fallback)
     #   "gather" = per-pixel gather everywhere (the round-1 design)
     #   "pallas" = shift decomposition with the tiled Pallas kernel on
     #              the luma select loops (per-tile distinct-value skip,
     #              ops/pallas/warp_sample.py; TPU only -- demoted to
     #              "shift" semantics on other backends)
-    warp_sampling: str = "shift"
+    warp_sampling: str = "pair"
     # flow pyramid-step kernel:
     #   "pallas" = one self-contained VMEM-resident kernel per step
     #              (ops/pallas/flow_step.py: in-kernel distinct
