@@ -14,13 +14,19 @@ import numpy as np
 
 def chip_pair_seconds(width=3840, height=2160, n_outputs=5, radius=16,
                       model="hopper", k1=8, k2=40, p010=False,
-                      repeats=2, layers=None, warp_sampling="shift",
+                      repeats=2, layers=None, warp_sampling=None,
                       max_calc_res=None, num_iterations=0):
     import jax
     import jax.numpy as jnp
     from mpv_frame_interpolator_tpu.io import synthetic
     from mpv_frame_interpolator_tpu.ops.flow import FlowGeometry
-    from mpv_frame_interpolator_tpu.pipeline.engine import _make_source_step
+    from mpv_frame_interpolator_tpu.pipeline.engine import (
+        EngineConfig, _make_source_step)
+
+    if warp_sampling is None:
+        # measure what SHIPS: the engine's default sampler (VERDICT r4
+        # weak #3 -- the committed chip number must track the default)
+        warp_sampling = EngineConfig.warp_sampling
 
     if layers is None:
         # the engine's default bucket for this radius (layer_buckets)
