@@ -526,6 +526,37 @@ def main():
             "ms/pair); chip-side per-output latency is the "
             "hardware verdict")
 
+    if "chip_ms_per_pair" in extras:
+        # pin the block-honesty probe's classification against measured
+        # reality (VERDICT r4 next #8): publish the probe's raw numbers
+        # and cross-check its verdict against the scan-chained chip time
+        # -- an honest block() is bounded below by chip execution, an
+        # early-acking one sits far under it.  consistent=false means
+        # the relay changed behavior since the probe ran and the
+        # controller's timing_source resolution needs re-examination.
+        try:
+            from mpv_frame_interpolator_tpu.pipeline.engine import (
+                block_consistency, block_honesty_detail)
+            engine.timing_source()        # ensure the probe has run
+            det = block_honesty_detail()
+            if det:
+                extras["block_honesty"] = det
+                extras["timing_source_resolved"] = engine.timing_source()
+            if det and lat_block:
+                # lat_block is per OUTPUT; only the first output of each
+                # pair carries the pair's full block wait (the rest of
+                # the fused program is already done), so the long-pole
+                # p90 -- not the median -- estimates the block-paced
+                # pair time.  Honest block => p90 >= chip time;
+                # early-ack => p90 ~ ack RTT, far under it.
+                p90_block = sorted(lat_block)[
+                    min(int(len(lat_block) * 0.9), len(lat_block) - 1)] * 1e3
+                extras["block_consistency"] = block_consistency(
+                    extras["chip_ms_per_pair"], p90_block)
+        except Exception as e:  # noqa: BLE001
+            extras["block_consistency_error"] = \
+                f"{type(e).__name__}: {e}"[:80]
+
     if not int(os.environ.get("MFI_BENCH_SKIP_PARITY", "0")):
         from mpv_frame_interpolator_tpu.utils.parity import parity_ok
         extras["parity_ok"] = bool(parity_ok())

@@ -105,3 +105,42 @@ def test_explicit_source_skips_probe(monkeypatch):
     for src in ("block", "amortized"):
         assert _build(src).timing_source() == src
     assert eng_mod._block_honesty_cache is None   # never probed
+
+
+def test_block_honesty_detail_records_how(monkeypatch):
+    """VERDICT r4 next #8: the probe's classification is published with
+    its provenance so bench.py can label the JSON round-over-round."""
+    from mpv_frame_interpolator_tpu.pipeline import engine as eng_mod
+    monkeypatch.setattr(eng_mod, "_block_honesty_cache", None)
+    monkeypatch.setattr(eng_mod, "_block_honesty_detail", {})
+    monkeypatch.setenv("MFI_BLOCK_HONEST", "0")
+    assert eng_mod._block_is_honest() is False
+    det = eng_mod.block_honesty_detail()
+    assert det == {"verdict": "early-ack", "how": "forced"}
+
+    monkeypatch.setattr(eng_mod, "_block_honesty_cache", None)
+    monkeypatch.setattr(eng_mod, "_block_honesty_detail", {})
+    monkeypatch.delenv("MFI_BLOCK_HONEST")
+    assert eng_mod._block_is_honest() is True       # CPU backend skip
+    assert eng_mod.block_honesty_detail() == {"verdict": "honest",
+                                              "how": "cpu-skip"}
+
+
+def test_block_consistency_pins_classification(monkeypatch):
+    """An honest-block verdict must be bounded below by the chained chip
+    time (~20% tolerance); an early-ack verdict must sit far under it.
+    A relay-behavior flip makes `consistent` False either way."""
+    from mpv_frame_interpolator_tpu.pipeline import engine as eng_mod
+    monkeypatch.setattr(eng_mod, "_block_honesty_detail",
+                        {"verdict": "honest", "how": "probe"})
+    ok = eng_mod.block_consistency(21.0, 60.0)      # block >= chip: honest
+    assert ok["measured_honest"] and ok["consistent"]
+    bad = eng_mod.block_consistency(21.0, 2.0)      # block << chip: lie
+    assert not bad["measured_honest"] and not bad["consistent"]
+
+    monkeypatch.setattr(eng_mod, "_block_honesty_detail",
+                        {"verdict": "early-ack", "how": "probe"})
+    ok2 = eng_mod.block_consistency(21.0, 2.0)
+    assert ok2["consistent"] and not ok2["measured_honest"]
+    bad2 = eng_mod.block_consistency(21.0, 60.0)
+    assert not bad2["consistent"]
