@@ -403,18 +403,29 @@ def main():
 
                     r5 = _rung("chip_ms_per_pair_radius5", 5, 5, 0,
                                270, model, 300.0)
-                    rung = _rung("chip_ms_per_pair_rung22", 5, 5,
-                                 max(base_iters - 2, 1), 135, model,
-                                 300.0)
-                    blend = _rung("chip_ms_per_pair_blend_rung", 5, 5,
-                                  max(base_iters - 2, 1), 135, "blend",
-                                  300.0)
                     if r5:
                         extras["degradation_speedup_radius"] = round(
                             sec / r5, 2)
-                    if rung:
+                    # measure every rung the SHIPPED ladder can reach
+                    # (EngineConfig.degrade_rungs), not a hardcoded pair
+                    # -- a rung-geometry change must show up here
+                    from mpv_frame_interpolator_tpu.pipeline.engine \
+                        import EngineConfig as _EC
+                    deepest_flow = None
+                    blend = None
+                    for d_it, rdiv, mdl in _EC().degrade_rungs:
+                        tag = (f"chip_ms_per_pair_rung{d_it}{rdiv}"
+                               + ("_blend" if mdl else ""))
+                        val = _rung(tag, 5, 5, max(base_iters - d_it, 1),
+                                    max(270 // rdiv, 64), mdl or model,
+                                    300.0)
+                        if mdl:
+                            blend = val
+                        elif val:
+                            deepest_flow = val
+                    if deepest_flow:
                         extras["degradation_speedup_fullquality"] = \
-                            round(sec / rung, 2)
+                            round(sec / deepest_flow, 2)
                     if blend is not None:
                         # the blend rung stops doing flow entirely and
                         # measures below the harness noise floor

@@ -236,7 +236,13 @@ class EngineConfig:
     # only degradation, reference-shaped).  Rung programs are warmed by
     # the background-precompile thread; the controller only steps onto a
     # warm rung.
-    degrade_rungs: tuple = ((2, 2), (2, 2, "blend"))
+    # Rung geometry (VERDICT r4 next #5): (2,2) buys ~1.3x still at
+    # near-full flow quality; (3,4) -- depth -3, calc-res 67 rows -- is
+    # the middle rung that still INTERPOLATES between it and the blend
+    # cliff (the reference's only floor is radius-scaling at fixed res,
+    # opticalFlowCalc.c:130, which never had a 2x lever either); the
+    # blend family stays the last resort.
+    degrade_rungs: tuple = ((2, 2), (3, 4), (3, 4, "blend"))
     # measured fractional-pel flow (ops/flow.subpel_refine): parabolic
     # sub-pel refinement of the committed integer flow.  The bilinear
     # families (hopperq/hopperxq) consume it at 1/64-pel in the warp; the

@@ -175,6 +175,17 @@ class TestEngineLadder:
             np.testing.assert_array_equal(y1, y2)
             np.testing.assert_array_equal(uv1, uv2)
 
+    def test_default_ladder_has_flow_bearing_middle_rung(self):
+        """VERDICT r4 next #5: between the near-full-quality rung and
+        the blend cliff there must be a deeper rung that still computes
+        flow, so the controller has a real middle step."""
+        rungs = EngineConfig().degrade_rungs
+        assert len(rungs) >= 3
+        assert rungs[-1][2] == "blend"           # last resort only
+        assert all(m is None for _, _, m in rungs[:-1])
+        (d1, r1, _), (d2, r2, _) = rungs[0], rungs[1]
+        assert d2 >= d1 and r2 > r1              # strictly deeper
+
     def test_rung_validation(self):
         with pytest.raises(ValueError):
             EngineConfig(degrade_rungs=((-1, 1),))

@@ -74,7 +74,14 @@ static void handler(int sig, siginfo_t *si, void *uctx) {
         write_str(fd, d < (64u << 10) ? "  [NEAR SP: stack overflow?]\n"
                                       : "  [far from sp]\n");
     }
-    /* backtrace() is not async-signal-safe but we are crashing anyway */
+    /* backtrace() is not async-signal-safe but we are crashing anyway.
+     * It re-enters the libgcc unwinder: if the ORIGINAL crash was
+     * inside _Unwind (observed: stale JIT eh_frame walk) it deadlocks
+     * on the unwinder's lock -- arm a watchdog so a hung handler kills
+     * the process instead of wedging the suite (the header line above
+     * already carries the diagnosis). */
+    signal(SIGALRM, SIG_DFL);
+    alarm(20);
     void *frames[64];
     int n = backtrace(frames, 64);
     for (int i = 0; i < 2; i++) {
