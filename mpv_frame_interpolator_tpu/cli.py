@@ -44,8 +44,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "; several inputs play as a gapless playlist "
                         "(mp_play_files analog)")
     p.add_argument("--playlist", default="",
-                   help="read additional playlist entries from this file "
-                        "(one path per line, # comments; mpv --playlist)")
+                   help="read additional playlist entries from this file: "
+                        "plain line lists, m3u/m3u8, or pls (mpv "
+                        "--playlist; relative entries resolve against "
+                        "the playlist's directory)")
     p.add_argument("--width", type=int, default=1920,
                    help="synthetic/raw width")
     p.add_argument("--height", type=int, default=1080,
@@ -439,12 +441,9 @@ def main(argv=None) -> int:
     # gapless through a ChainedSource on one engine
     entries = list(args.source)
     if args.playlist:
+        from mpv_frame_interpolator_tpu.io.playlist import parse_playlist
         try:
-            with open(args.playlist) as fh:
-                for line in fh:
-                    line = line.strip()
-                    if line and not line.startswith("#"):
-                        entries.append(line)
+            entries.extend(parse_playlist(args.playlist))
         except OSError as e:
             raise SystemExit(f"cannot read playlist {args.playlist!r}: {e}")
     args.source = entries[0]   # single-file surfaces (watch-later, logs)

@@ -21,12 +21,50 @@ like the reference displaying the first frame of the next file).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Callable, Iterator, List, Sequence
 
 from mpv_frame_interpolator_tpu.frame import VideoFrame
 from mpv_frame_interpolator_tpu.utils import get_logger
 
 log = get_logger("playlist")
+
+
+def parse_playlist(path: str) -> List[str]:
+    """Entries of a playlist file: plain line lists, m3u/m3u8 (EXTM3U;
+    `#EXT...` directives are metadata, every other non-blank line is an
+    entry), and pls (`[playlist]` INI, `FileN=` keys in N order) --
+    the formats demux_playlist.c's parsers cover that make sense
+    without a URL stack.  Relative entries resolve against the playlist
+    file's directory (demux_playlist.c's playlist_add_base), absolute
+    paths and URLs (scheme://, synthetic:) pass through."""
+    with open(path, encoding="utf-8", errors="replace") as fh:
+        lines = [ln.strip().lstrip("﻿") for ln in fh]
+    base = os.path.dirname(os.path.abspath(path))
+
+    def resolve(entry: str) -> str:
+        if ("://" in entry or entry.startswith("synthetic:")
+                or os.path.isabs(entry) or entry == "-"):
+            return entry
+        return os.path.join(base, entry)
+
+    low = path.lower()
+    if low.endswith(".pls") or any(ln.lower() == "[playlist]"
+                                   for ln in lines[:3]):
+        numbered = []
+        for ln in lines:
+            if "=" not in ln:
+                continue
+            key, _, val = ln.partition("=")
+            key = key.strip().lower()
+            if key.startswith("file") and key[4:].isdigit() and val.strip():
+                numbered.append((int(key[4:]), val.strip()))
+        return [resolve(v) for _, v in sorted(numbered)]
+
+    # m3u/m3u8 and plain line lists share one shape: '#' lines are
+    # comments/directives, the rest are entries
+    return [resolve(ln) for ln in lines
+            if ln and not ln.startswith("#")]
 
 
 class ChainedSource:

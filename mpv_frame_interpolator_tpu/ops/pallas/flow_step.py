@@ -132,8 +132,19 @@ def pad_stacks_for_pallas(stacks, lh: int, lw: int, Bl: int):
 
 def _make_kernel(lh: int, lw: int, s: int, rs: int, Bl: int,
                  window: int, nb_enabled: bool, layers: int,
-                 luma_shift: int, acc_dtype, K: int):
-    """Kernel body for one static (window, nb) pyramid-step branch."""
+                 luma_shift: int, acc_dtype, K: int,
+                 packed: bool = False):
+    """Kernel body for one static (window, nb) pyramid-step branch.
+
+    packed=True (uint8 stacks only) rotates each DMA'd candidate's
+    sub-tile residual in the PACKED byte domain (ops/pallas/warp_pair's
+    trick: uint8 VMEM tiles store 4 consecutive rows per 32-bit word,
+    so a row shift is a word roll + an intra-word byte rotate and a
+    column shift is a lane roll of the int32 view) instead of widening
+    the whole (3, wr, wc) buffer to int32 first -- ~4x less vector work
+    on the rotation, and the int32 widen then touches only the (lh, lw)
+    payload.  Bit-exact: the payload rows/cols never wrap (ry < 32,
+    rx < 128, and the buffer is tile-rounded past the payload)."""
     m = s - 1
     w2 = 2 * window
     nwy, nwx = -(-lh // window), -(-lw // window)
@@ -219,13 +230,41 @@ def _make_kernel(lh: int, lw: int, s: int, rs: int, Bl: int,
 
             get_dma(t, slot).wait()
             _, _, _, ry, rx, j, l = dma_parts(t)
-            # rotate the sub-tile residual to the origin (32-bit lanes)
-            v = cand[slot].astype(jnp.int32)
-            v = pltpu.roll(v, wr - ry, 1)
-            v = pltpu.roll(v, wc - rx, 2)
-            d = (jnp.abs(v[0, :lh, :lw] - y2)
-                 + jnp.abs(v[1, :lh, :lw] - u2)
-                 + jnp.abs(v[2, :lh, :lw] - v2)).astype(acc_dtype)
+            if packed:
+                # byte-domain residual rotation: word roll + intra-word
+                # byte rotate on the (3, wr//4, wc) int32 view, then
+                # widen ONLY the payload for the SAD (same merge as
+                # ops/pallas/warp_pair._packed_window, hardware-proven
+                # bit-exact there)
+                pk = pltpu.bitcast(cand[slot], jnp.int32)
+                nw = pk.shape[1]
+                w = ry // 4
+                b = ry % 4
+                r1 = pltpu.roll(pk, nw - w, 1)
+                r2 = pltpu.roll(pk, nw - w - 1, 1)
+                sh = (8 * b).astype(jnp.uint32)
+                u1 = pltpu.bitcast(r1, jnp.uint32)
+                u2c = pltpu.bitcast(r2, jnp.uint32)
+                merged = jnp.where(
+                    b == 0, u1,
+                    jax.lax.shift_right_logical(u1, sh)
+                    | jax.lax.shift_left(u2c, jnp.uint32(32) - sh))
+                merged = pltpu.roll(pltpu.bitcast(merged, jnp.int32),
+                                    wc - rx, 2)
+                v8 = pltpu.bitcast(merged, jnp.uint8)
+                d = (jnp.abs(v8[0, :lh, :lw].astype(jnp.int32) - y2)
+                     + jnp.abs(v8[1, :lh, :lw].astype(jnp.int32) - u2)
+                     + jnp.abs(v8[2, :lh, :lw].astype(jnp.int32) - v2)
+                     ).astype(acc_dtype)
+            else:
+                # rotate the sub-tile residual to the origin (32-bit
+                # lanes; P010's uint16 stacks don't pack 4-per-word)
+                v = cand[slot].astype(jnp.int32)
+                v = pltpu.roll(v, wr - ry, 1)
+                v = pltpu.roll(v, wc - rx, 2)
+                d = (jnp.abs(v[0, :lh, :lw] - y2)
+                     + jnp.abs(v[1, :lh, :lw] - u2)
+                     + jnp.abs(v[2, :lh, :lw] - v2)).astype(acc_dtype)
             prev = acc[pl.ds(l, 1)][0]
             acc[pl.ds(l, 1)] = jnp.where(key == vals_s[j], d, prev)[None]
             return carry
@@ -335,8 +374,11 @@ def flow_step_pallas(stacks2, probe, off_x, off_y, meta,
         interpret = jax.default_backend() != "tpu"
     acc_dtype = jnp.int32 if luma_shift else jnp.int16
     wr, wc = _win_dims(lh, lw)
+    import os as _os
+    packed = (stacks2.dtype == jnp.uint8
+              and _os.environ.get("MFI_FLOW_PACKED_ROLL", "1") != "0")
     kernel = _make_kernel(lh, lw, s, rs, Bl, window, nb_enabled, layers,
-                          luma_shift, acc_dtype, K)
+                          luma_shift, acc_dtype, K, packed=packed)
     nwy, nwx = -(-lh // window), -(-lw // window)
     return pl.pallas_call(
         kernel,

