@@ -74,12 +74,47 @@ static void handler(int sig, siginfo_t *si, void *uctx) {
         write_str(fd, d < (64u << 10) ? "  [NEAR SP: stack overflow?]\n"
                                       : "  [far from sp]\n");
     }
-    /* backtrace() is not async-signal-safe but we are crashing anyway.
-     * It re-enters the libgcc unwinder: if the ORIGINAL crash was
-     * inside _Unwind (observed: stale JIT eh_frame walk) it deadlocks
-     * on the unwinder's lock -- arm a watchdog so a hung handler kills
-     * the process instead of wedging the suite (the header line above
-     * already carries the diagnosis). */
+    /* Poor-man's backtrace FIRST (async-signal-safe, no unwinder):
+     * dump raw stack words above sp plus /proc/self/maps; offline, any
+     * stack value that lands in an r-xp mapping is a candidate return
+     * address.  Needed because the real crash site is INSIDE the libgcc
+     * unwinder (holding its object mutex), so backtrace() deadlocks. */
+    {
+        int fd = open(g_log, O_WRONLY | O_CREAT | O_APPEND, 0644);
+        if (fd >= 0) {
+            write_str(fd, "--- stack words (sp..sp+32KB) ---\n");
+            uint64_t *p = (uint64_t *)(sp & ~7ull);
+            for (int i = 0; i < 4096; i++) {
+                /* stop at the guard: probe via a bounds check against
+                 * the altstack-independent assumption that stacks are
+                 * < 64MB; unmapped reads here would re-fault, so limit
+                 * to the page the kernel says is mapped: msync probe */
+                if (((uint64_t)(p + i) & 0xFFF) == 0) {
+                    /* new page: probe with mincore-free trick -- write
+                     * syscall returns EFAULT on unmapped source */
+                    ssize_t r = write(fd, (const void *)(p + i), 1);
+                    if (r < 0) break;
+                    write_str(fd, "\n");
+                }
+                write_hex(fd, p[i]);
+                write_str(fd, (i & 3) == 3 ? "\n" : " ");
+            }
+            write_str(fd, "\n--- /proc/self/maps ---\n");
+            int mf = open("/proc/self/maps", O_RDONLY);
+            if (mf >= 0) {
+                char buf[4096];
+                ssize_t n2;
+                while ((n2 = read(mf, buf, sizeof(buf))) > 0) {
+                    ssize_t r = write(fd, buf, n2);
+                    (void)r;
+                }
+                close(mf);
+            }
+            write_str(fd, "--- end maps ---\n");
+            close(fd);
+        }
+    }
+    /* backtrace() may still deadlock (see above) -- watchdog it */
     signal(SIGALRM, SIG_DFL);
     alarm(20);
     void *frames[64];
