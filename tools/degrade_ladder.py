@@ -35,7 +35,10 @@ def main():
         ("r5 depth-3",           5,  5, 5, 270, "hopper"),
         ("r5 res/2",             5,  5, 0, 135, "hopper"),
         ("r5 res/2 depth-2",     5,  5, 5, 135, "hopper"),
-        ("blend rung",           5,  5, 5, 135, "blend"),
+        # the shipped ladder's middle rung (EngineConfig.degrade_rungs
+        # (3,4)): depth-3 at quarter calc-res, still flow-bearing
+        ("r5 res/4 depth-3",     5,  5, 5,  67, "hopper"),
+        ("blend rung",           5,  5, 5,  67, "blend"),
     ]
     base = None
     for tag, radius, layers, iters, mcr, model in ladder:
