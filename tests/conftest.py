@@ -40,26 +40,36 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# --- full-suite segfault guard (round 5, VERDICT r4 #1) ---------------
-# The mid-suite XLA:CPU SIGSEGV (r4: 3x in TestHopperQ; r5 repro runs
-# crashed at 27%/48%/56% -- each test passes alone) is a C++ throw
-# dying inside libgcc's _Unwind_Find_FDE while walking the JIT
-# eh-frame registrations that jaxlib's ORC JIT accumulates (full
-# diagnosis + captured stack in tests/_ehframe_patch.py).  Keeping
-# executables alive did NOT help (r5 run 2), so the registration data
-# itself goes bad; the guard no-ops __register_frame/__deregister_frame
-# in libjax_common.so via a runtime GOT patch, keeping libgcc's
-# registered-object list empty.  Exceptions never legitimately cross
-# the XLA FFI boundary into JIT frames, so nothing loses unwind info
-# it actually needs.
-import importlib.util as _ilu  # noqa: E402
+# --- full-suite crash guard (round 5, VERDICT r4 #1) ------------------
+# ROOT CAUSE of the mid-suite XLA:CPU death (r4: segfault 3x in
+# TestHopperQ; r5 repro runs died at 27%/48%/56%/64% as SIGSEGV in
+# _Unwind_Find_FDE, clean test failures, or an LLVM RuntimeDyld
+# abort): the process hits the kernel's vm.max_map_count wall.  Every
+# XLA:CPU compiled object stays loaded as an anonymous r-xp + r--p +
+# rw-p mapping TRIPLE and is never unmapped; the full suite accumulates
+# ~21,600 JIT objects = ~65k mappings, exactly the default 65,530
+# limit (counted from the crash-time /proc/self/maps captured by
+# tools/segv_backtrace.c).  Past the wall every mmap fails and the
+# failure surfaces wherever the next allocation lands -- which is why
+# the crash point moved between runs, every test passes alone, and
+# neither executable keep-alive nor eh-frame patching (runs 2/4, see
+# tests/_ehframe_patch.py for that diagnostic) could fix it.  Raise
+# the limit at session start (root inside the sandbox; idempotent,
+# persists per boot); if it cannot be raised, warn loudly so a future
+# death at ~65k mappings is attributable in seconds.
+try:
+    with open("/proc/sys/vm/max_map_count", "r+") as _mmf:
+        _cur = int(_mmf.read().strip())
+        if _cur < 262144:
+            _mmf.seek(0)
+            _mmf.write("262144")
+except OSError as _e:  # pragma: no cover - depends on sandbox privs
+    import warnings
 
-_spec = _ilu.spec_from_file_location(
-    "_ehframe_patch",
-    os.path.join(os.path.dirname(__file__), "_ehframe_patch.py"))
-_ehframe_patch = _ilu.module_from_spec(_spec)
-_spec.loader.exec_module(_ehframe_patch)
-_ehframe_patch.neuter_jit_eh_registration()
+    warnings.warn(
+        f"could not raise vm.max_map_count ({_e}); the full suite "
+        "accumulates ~65k mappings of never-unloaded XLA:CPU JIT "
+        "objects and will die at the default 65,530 limit")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
