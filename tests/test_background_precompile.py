@@ -13,9 +13,14 @@ def test_background_precompile_warms_all_sizes(small_cfg):
     # one layer bucket: the multi-bucket warm sweep takes >60s of XLA:CPU
     # compiles on this 1-core host, and a thread still compiling after
     # the test window races later tests' compiles
+    # degrade_rungs=(): this test pins down BATCH-SIZE warming; the
+    # shipped 3-rung ladder adds whole extra geometries to the warm
+    # sweep, which blows the 120s window on this 1-core host (the rung
+    # warm path has its own coverage in test_degrade_rungs)
     eng = InterpolationEngine(EngineConfig(
         scene_detection=False, auto_quality=False, measure_timing=True,
-        background_precompile=True, layer_buckets=(16,)))
+        background_precompile=True, layer_buckets=(16,),
+        degrade_rungs=()))
     frames = list(synthetic.moving_box(small_cfg, 3))
     eng.push(frames[0])
     eng.push(frames[1])

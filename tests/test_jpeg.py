@@ -140,6 +140,14 @@ class TestDecodeJpeg:
             np.testing.assert_array_equal(pa, pb)
 
     def test_progressive_rejected(self):
+        """The NATIVE baseline decoder must refuse SOF2 rather than
+        silently mis-decode; the Pillow fallback decodes progressive
+        correctly via libjpeg, so rejection only applies when the
+        extension is built."""
+        from mpv_frame_interpolator_tpu.native import HAVE_NATIVE, _native
+        if not (HAVE_NATIVE and hasattr(_native, "decode_jpeg")):
+            pytest.skip("native decoder absent; Pillow fallback "
+                        "legitimately decodes progressive JPEG")
         data = pil_jpeg(smooth_rgb(32, 32), quality=90, progressive=True)
         with pytest.raises(ValueError):
             decode_jpeg_planes(data)

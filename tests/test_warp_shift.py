@@ -95,7 +95,10 @@ class TestShiftEqualsGather:
 class TestEngineDefaultShift:
     def test_config_default_and_validation(self):
         from mpv_frame_interpolator_tpu.pipeline.engine import EngineConfig
-        assert EngineConfig().warp_sampling == "shift"
+        # default moved shift -> pair at round 4's close (whole-pair
+        # packed Pallas warp, A/B'd 20.9 vs 23.4 ms at 4K, bit-exact);
+        # ineligible modes/families demote to shift at trace time
+        assert EngineConfig().warp_sampling == "pair"
         with pytest.raises(ValueError):
             EngineConfig(warp_sampling="nope")
 
