@@ -25,8 +25,23 @@ def cut_score(y1_full, y2_full, res_scalar: int, bit_shift: int = 0):
     (2**res_scalar), matching where the reference would have measured had
     it shipped its advertised detection (README.md:22)."""
     s = 1 << res_scalar
-    d = jnp.abs(y1_full[::s, ::s].astype(jnp.int32)
-                - y2_full[::s, ::s].astype(jnp.int32))
+
+    def _sub(y):
+        if s == 1:
+            return y
+        rows = y[::s]
+        h2, w = rows.shape
+        if w % s == 0:
+            # bit-identical to y[::s, ::s], but the LANE-stride slice
+            # lowers ~80x slower on this chip (2.5 ms vs 0.03 ms for a
+            # 4K pair): keep the cheap row-stride slice and take every
+            # s-th column via reshape + trailing index instead
+            # (measured in tools/glue_probe.py, round 5)
+            return rows.reshape(h2, w // s, s)[..., 0]
+        return rows[:, ::s]
+
+    d = jnp.abs(_sub(y1_full).astype(jnp.int32)
+                - _sub(y2_full).astype(jnp.int32))
     if bit_shift:
         d = d >> bit_shift
     return jnp.mean(d.astype(jnp.float32))
