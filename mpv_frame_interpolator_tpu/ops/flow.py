@@ -41,6 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mpv_frame_interpolator_tpu.ops import oracle
+from mpv_frame_interpolator_tpu.ops.lanes import col_take as _col_take
 
 FIRST_NEIGHBOR_ITERATION = oracle.FIRST_NEIGHBOR_ITERATION
 BLUR_RADIUS = oracle.BLUR_KERNEL_RADIUS
@@ -333,8 +334,8 @@ def _distinct_base_offsets(off_y, off_x, K: int, stride: int = 2):
     shift.  Returns (key_b at the subsampled grid, vals[K], D,
     exceeded)."""
     R = 1 << 11
-    oy = jnp.clip(off_y[::stride, ::stride], -R, R - 1)
-    ox = jnp.clip(off_x[::stride, ::stride], -R, R - 1)
+    oy = jnp.clip(_col_take(off_y[::stride], stride), -R, R - 1)
+    ox = jnp.clip(_col_take(off_x[::stride], stride), -R, R - 1)
     key_b = ((oy + R) * (2 * R) + (ox + R)).astype(jnp.int32)
     vals, D, exceeded = _distinct_min_extract(key_b.ravel(), K)
     return key_b, vals, D, exceeded
@@ -413,14 +414,16 @@ def _subsampled_f2(geom: FlowGeometry, f2y, f2u, f2v):
     (calcDeltaSumsKernel.cl:96-98 with scaledC = c << resolutionScalar)."""
     rs, lh, lw = geom.res_scalar, geom.low_h, geom.low_w
     s = 1 << rs
-    y2 = f2y[::s, ::s][:lh, :lw]
+    # column subsampling via _col_take, not [:, ::s] -- the lane-stride
+    # slice on a full-res plane is ~80x slower on this chip (ops/lanes.py)
+    y2 = _col_take(f2y[::s], s)[:lh, :lw]
     if rs == 0:
         u2 = jnp.repeat(jnp.repeat(f2u, 2, 0), 2, 1)[:lh, :lw]
         v2 = jnp.repeat(jnp.repeat(f2v, 2, 0), 2, 1)[:lh, :lw]
     else:
         t = 1 << (rs - 1)
-        u2 = f2u[::t, ::t][:lh, :lw]
-        v2 = f2v[::t, ::t][:lh, :lw]
+        u2 = _col_take(f2u[::t], t)[:lh, :lw]
+        v2 = _col_take(f2v[::t], t)[:lh, :lw]
     return (y2.astype(jnp.int32), u2.astype(jnp.int32), v2.astype(jnp.int32))
 
 
@@ -685,8 +688,9 @@ def _make_step_branch(geom: FlowGeometry, window: int, nb_enabled: bool,
             off_y, off_x, _FLOW_K, stride=window)
         max_adj = (layers // 2) ** 2
         # subsampled max == field max by block constancy
-        mag = jnp.maximum(jnp.max(jnp.abs(off_x[::window, ::window])),
-                          jnp.max(jnp.abs(off_y[::window, ::window])))
+        mag = jnp.maximum(
+            jnp.max(jnp.abs(_col_take(off_x[::window], window))),
+            jnp.max(jnp.abs(_col_take(off_y[::window], window))))
         # third conjunct: the pack keys clip at +-2**11; past that a
         # shift could be mis-keyed without tripping the padding bound
         # (possible at res_scalar >= 5, i.e. beyond-8K geometries)
@@ -900,8 +904,8 @@ def subpel_refine(geom: FlowGeometry, blurred, f1y, f1u, f1v, f2_probe,
         deltas = gather_probes(None)
     else:
         key_b, vals, D, exceeded = _distinct_base_offsets(oy, ox, _FLOW_K)
-        mag = jnp.maximum(jnp.max(jnp.abs(ox[::2, ::2])),
-                          jnp.max(jnp.abs(oy[::2, ::2])))
+        mag = jnp.maximum(jnp.max(jnp.abs(_col_take(ox[::2], 2))),
+                          jnp.max(jnp.abs(_col_take(oy[::2], 2))))
         ok = (~exceeded) & (mag + 1 <= (_FLOW_BLOW << rs) - 1) \
             & (mag < (1 << 11))
         adj_y = jnp.asarray([dy for _, dy in PROBES], jnp.int32)

@@ -34,6 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mpv_frame_interpolator_tpu.ops.flow import FlowGeometry, _gather
+from mpv_frame_interpolator_tpu.ops.lanes import col_take as _col_take
 
 WARPED_FRAME_12 = 0
 WARPED_FRAME_21 = 1
@@ -81,9 +82,22 @@ def _upsample_uv(geom: FlowGeometry, plane):
     plane[(cy>>rs)<<1, (cx>>rs)&~1] (cl:151-152 with cz=1)."""
     rep_r = 1 << geom.res_scalar
     rep_c = 1 << (geom.res_scalar + 1)
-    sub = plane[::2, ::2]
+    sub = _col_take(plane[::2], 2)
     sub = jnp.repeat(jnp.repeat(sub, rep_r, 0), rep_c, 1)
     return sub[:geom.height // 2, :geom.actual_width]
+
+
+def _upsample_uv_half(geom: FlowGeometry, plane):
+    """``_upsample_uv(geom, plane)[:, 0::2]`` built directly: u and v
+    share their chroma coordinate (the column doubling), so the
+    half-width field is just the 2x2-subsampled plane repeated
+    ``2**res_scalar`` both ways -- bit-identical, and skips the
+    full-width intermediate plus its lane-stride slice (ops/lanes.py)."""
+    rep = 1 << geom.res_scalar
+    sub = _col_take(plane[::2], 2)
+    if rep > 1:
+        sub = jnp.repeat(jnp.repeat(sub, rep, 0), rep, 1)
+    return sub[:geom.height // 2, :geom.actual_width // 2]
 
 
 def _occlusion_adjust(blended, s12, s21, fs12, scale_shift: int):
@@ -294,8 +308,8 @@ def _shift_sample_uv(padded2, idx_c, vals, D, hc: int, wc: int, dtype):
         sl = jax.lax.dynamic_slice(padded2, (0, B + dy, B + dx),
                                    (2, hc, 2 * wc))
         mask = idx_c == j.astype(jnp.uint8)
-        au = jnp.where(mask, sl[0, :, 0::2], au)
-        av = jnp.where(mask, sl[1, :, 1::2], av)
+        au = jnp.where(mask, _col_take(sl[0], 2, 0), au)
+        av = jnp.where(mask, _col_take(sl[1], 2, 1), av)
         return au, av, j + 1
 
     z = jnp.zeros((hc, wc), dtype)
@@ -408,8 +422,8 @@ def _sampler_prep(geom, fields, f1y, f1u, f1v, f2y, f2u, f2v,
             "IF12lo": if12_lo, "IF21lo": if21_lo,
             "IF12": _upsample_y(geom, if12_lo),
             "IF21": _upsample_y(geom, if21_lo),
-            "IF12c": _upsample_uv(geom, if12_lo)[:, 0::2],
-            "IF21c": _upsample_uv(geom, if21_lo)[:, 0::2],
+            "IF12c": _upsample_uv_half(geom, if12_lo),
+            "IF21c": _upsample_uv_half(geom, if21_lo),
             "ok": ok}
     if fused:
         # fused-kernel prep (ops/pallas/warp_fused.py): tile-grid
@@ -1240,8 +1254,8 @@ def _warp_sbs(geom, mode, scale_shift, dtype,
 
     out_y = outs[0].astype(dtype)
     uv = outs[1]
-    out_u = uv[:, 0::2].astype(dtype)
-    out_v = uv[:, 1::2].astype(dtype)
+    out_u = _col_take(uv, 2, 0).astype(dtype)
+    out_v = _col_take(uv, 2, 1).astype(dtype)
     return out_y, out_u, out_v
 
 

@@ -34,6 +34,7 @@ from mpv_frame_interpolator_tpu.frame import (
     FrameFormat, VideoFrame, NV12)
 from mpv_frame_interpolator_tpu.ops.flow import FlowGeometry
 from mpv_frame_interpolator_tpu.ops import warp as warp_ops
+from mpv_frame_interpolator_tpu.ops.lanes import deinterleave_uv as _deint
 from mpv_frame_interpolator_tpu.pipeline.cadence import (
     CadenceEngine, InterpolationState)
 from mpv_frame_interpolator_tpu.pipeline.quality import QualityController
@@ -698,8 +699,8 @@ def _make_source_step(geom: FlowGeometry, mode: int,
 
     def step(f1y, f1uv, f2y, f2uv, ts, radius, ds, nbs, black,
              white, scene_threshold):
-        f1u, f1v = f1uv[:, 0::2], f1uv[:, 1::2]
-        f2u, f2v = f2uv[:, 0::2], f2uv[:, 1::2]
+        f1u, f1v = _deint(f1uv)
+        f2u, f2v = _deint(f2uv)
         blurred, frac, cut_score = _flow_stage(
             geom, scale_shift, scene_enabled, model, pallas_blur,
             f1y, f1u, f1v, f2y, f2u, f2v, radius, ds, nbs, scene_threshold,
@@ -735,8 +736,8 @@ def _make_group_step(geom: FlowGeometry, mode: int, scale_shift: int,
              scene_threshold):
         def body(carry, xs):
             a_y, a_uv, b_y, b_uv, t = xs
-            f1u, f1v = a_uv[:, 0::2], a_uv[:, 1::2]
-            f2u, f2v = b_uv[:, 0::2], b_uv[:, 1::2]
+            f1u, f1v = _deint(a_uv)
+            f2u, f2v = _deint(b_uv)
             blurred, frac, cut_score = _flow_stage(
                 geom, scale_shift, scene_enabled, model, pallas_blur,
                 a_y, f1u, f1v, b_y, f2u, f2v, radius, ds, nbs,
@@ -764,8 +765,8 @@ def _make_flow_step(geom: FlowGeometry, scale_shift: int,
     OFC-event analog).  Same traced code as the fused step's first half.
     Returns (blurred, frac-or-None, cut_score)."""
     def step(f1y, f1uv, f2y, f2uv, radius, ds, nbs, scene_threshold):
-        f1u, f1v = f1uv[:, 0::2], f1uv[:, 1::2]
-        f2u, f2v = f2uv[:, 0::2], f2uv[:, 1::2]
+        f1u, f1v = _deint(f1uv)
+        f2u, f2v = _deint(f2uv)
         return _flow_stage(geom, scale_shift, scene_enabled, model,
                            pallas_blur, f1y, f1u, f1v, f2y, f2u, f2v,
                            radius, ds, nbs, scene_threshold, subpel,
@@ -782,8 +783,8 @@ def _make_warp_step(geom: FlowGeometry, mode: int, scale_shift: int,
     `frac` is the subpel field or None (None is a valid jit pytree)."""
     def step(f1y, f1uv, f2y, f2uv, blurred, frac, cut_score, ts, black,
              white, scene_threshold):
-        f1u, f1v = f1uv[:, 0::2], f1uv[:, 1::2]
-        f2u, f2v = f2uv[:, 0::2], f2uv[:, 1::2]
+        f1u, f1v = _deint(f1uv)
+        f2u, f2v = _deint(f2uv)
         return _warp_stage(geom, mode, scale_shift, cut_policy,
                            scene_enabled, model, f1y, f1u, f1v, f2y, f2u,
                            f2v, blurred, cut_score, ts, black, white,
