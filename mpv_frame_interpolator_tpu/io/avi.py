@@ -79,17 +79,22 @@ class AVIReader:
                     from None
             if interlaced:
                 raise AVIError("interlaced Ut Video is not supported")
+        elif self._fourcc == "FFV1":
+            from mpv_frame_interpolator_tpu.io import ffv1 as _ffv1
+            self._layout = "ffv1"
+            self._ffv1: Optional[_ffv1.FFV1Decoder] = None
+            self._ffv1_expect = -1   # next index position the states match
         else:
             raise AVIError(
                 f"stream codec {self._fourcc!r} needs an external decoder "
-                f"(MJPG, Ut Video {sorted(UTVIDEO_FOURCCS)} and raw "
+                f"(MJPG, FFV1, Ut Video {sorted(UTVIDEO_FOURCCS)} and raw "
                 f"{sorted(RAW_FOURCCS)} decode natively)")
         if not (0 < self.width <= _MAX_DIM and 0 < self.height <= _MAX_DIM
                 and self.width * self.height <= _MAX_PIXELS):
             raise AVIError(f"bad video dimensions "
                            f"{self.width}x{self.height}")
         if (self.width % 2 or self.height % 2) \
-                and self._layout not in ("mjpeg", "utvideo"):
+                and self._layout not in ("mjpeg", "utvideo", "ffv1"):
             raise AVIError("4:2:0 requires even dimensions")
         if self.fps <= 0:
             self.fps = 25.0
@@ -278,6 +283,18 @@ class AVIReader:
                                            self._ut_slices)
             except ValueError as e:
                 raise AVIError(f"bad Ut Video frame: {e}") from None
+            return VideoFrame(y, uv, self.fmt, nominal_fps=self.fps)
+        if self._layout == "ffv1":
+            from mpv_frame_interpolator_tpu.io import ffv1 as _ffv1
+            if self._ffv1 is None:
+                self._ffv1 = _ffv1.FFV1Decoder(w, h)
+            if self._pos - 1 != self._ffv1_expect:
+                self._ffv1.reset()     # seek: re-enter at a keyframe
+            try:
+                y, uv = _ffv1.decode_to_nv12(self._ffv1, data)
+            except ValueError as e:
+                raise AVIError(f"bad FFV1 frame: {e}") from None
+            self._ffv1_expect = self._pos
             return VideoFrame(y, uv, self.fmt, nominal_fps=self.fps)
         if len(data) < self._expected:
             raise AVIError(f"short frame payload ({len(data)} bytes, "

@@ -158,10 +158,29 @@ class MKVReader:
                     from None
             if interlaced:
                 raise MKVError("interlaced Ut Video is not supported")
+        elif t.codec_id == "V_FFV1":
+            from mpv_frame_interpolator_tpu.io import ffv1 as _ffv1
+            if t.codec_private:
+                # v3+ carries a range-coded ConfigurationRecord whose
+                # first symbol is the version; v0/1 CodecPrivate is empty
+                try:
+                    pc = _ffv1.RangeDecoder(t.codec_private)
+                    ver = _ffv1._get_symbol(
+                        pc, _ffv1._fresh_states(), 0, False)
+                except _ffv1.FFV1Error:
+                    ver = 0
+                if ver >= 2:
+                    raise MKVError(
+                        f"FFV1 version {ver} (sliced, ConfigurationRecord"
+                        f") needs an external decoder; v0/1 decode "
+                        f"natively")
+            self._layout = "ffv1"
+            self._ffv1 = None
+            self._ffv1_expect = -1
         elif t.codec_id != "V_UNCOMPRESSED":
             raise MKVError(
                 f"track codec {t.codec_id!r} needs an external decoder "
-                f"(V_UNCOMPRESSED, V_MJPEG and VfW Ut Video are "
+                f"(V_UNCOMPRESSED, V_MJPEG, V_FFV1 and VfW Ut Video are "
                 f"demuxed+decoded natively; see io/decode.py)")
         else:
             fourcc = t.colour_space.decode("ascii", "replace").strip("\0 ")
@@ -175,7 +194,7 @@ class MKVReader:
                 and t.width * t.height <= _MAX_PIXELS):
             raise MKVError(f"bad video dimensions {t.width}x{t.height}")
         if (t.width % 2 or t.height % 2) \
-                and self._layout not in ("mjpeg", "utvideo"):
+                and self._layout not in ("mjpeg", "utvideo", "ffv1"):
             raise MKVError("4:2:0 requires even dimensions")
         self.width, self.height = t.width, t.height
         self.fps = (1e9 / t.default_duration_ns
@@ -346,6 +365,18 @@ class MKVReader:
                                            self._ut_slices)
             except ValueError as e:
                 raise MKVError(f"bad Ut Video frame: {e}") from None
+            return VideoFrame(y, uv, self.fmt, nominal_fps=self.fps)
+        if self._layout == "ffv1":
+            from mpv_frame_interpolator_tpu.io import ffv1 as _ffv1
+            if self._ffv1 is None:
+                self._ffv1 = _ffv1.FFV1Decoder(w, h)
+            if self._pos - 1 != self._ffv1_expect:
+                self._ffv1.reset()     # seek: re-enter at a keyframe
+            try:
+                y, uv = _ffv1.decode_to_nv12(self._ffv1, data)
+            except ValueError as e:
+                raise MKVError(f"bad FFV1 frame: {e}") from None
+            self._ffv1_expect = self._pos
             return VideoFrame(y, uv, self.fmt, nominal_fps=self.fps)
         if len(data) < self._expected:
             raise MKVError(f"short frame payload ({len(data)} bytes, "

@@ -1,0 +1,405 @@
+"""FFV1 (RFC 9043 v0/1) codec tests: coder roundtrips, format features,
+malformed-input rejection, deterministic fuzz, and container playback
+(AVI fourcc FFV1, MKV V_FFV1).  The reference plays FFV1 via libavcodec
+(video/decode/vd_lavc.c:1157-1388); here io/ffv1.py is both sides of the
+contract (no ffmpeg exists in this image to cross-check against --
+documented in docs/DEVIATIONS.md)."""
+
+import numpy as np
+import pytest
+
+from mpv_frame_interpolator_tpu.io import ffv1
+
+
+def _planes(w, h, seed=0, smooth=True):
+    rng = np.random.default_rng(seed)
+    if smooth:
+        y = (np.arange(h)[:, None] * 3 + np.arange(w)[None, :] * 2
+             ).astype(np.uint8)
+        ph, pw = h // 2 - h // 4, w // 2 - w // 4
+        y[h // 4:h // 2, w // 4:w // 2] += rng.integers(
+            0, 50, (ph, pw), dtype=np.uint8)
+    else:
+        y = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    u = rng.integers(0, 256, ((h + 1) // 2, (w + 1) // 2), dtype=np.uint8)
+    v = rng.integers(0, 256, ((h + 1) // 2, (w + 1) // 2), dtype=np.uint8)
+    return y, u, v
+
+
+class TestRangeCoder:
+    def test_bit_roundtrip(self):
+        rng = np.random.default_rng(1)
+        bits = rng.integers(0, 2, 2000).tolist()
+        enc = ffv1.RangeEncoder()
+        st = bytearray([128] * 8)
+        for i, b in enumerate(bits):
+            enc.put(st, i % 8, int(b))
+        data = enc.finish()
+        dec = ffv1.RangeDecoder(data)
+        st = bytearray([128] * 8)
+        got = [dec.get(st, i % 8) for i in range(len(bits))]
+        assert got == bits
+
+    def test_symbol_roundtrip(self):
+        rng = np.random.default_rng(2)
+        vals = [0, 1, -1, 5, -127, 128, 65535, -65536] + \
+            rng.integers(-10**6, 10**6, 100).tolist()
+        enc = ffv1.RangeEncoder()
+        st = bytearray([128] * ffv1.CONTEXT_SIZE)
+        for v in vals:
+            ffv1._put_symbol(enc, st, 0, int(v), True)
+        dec = ffv1.RangeDecoder(enc.finish())
+        st = bytearray([128] * ffv1.CONTEXT_SIZE)
+        assert [ffv1._get_symbol(dec, st, 0, True) for _ in vals] == \
+            [int(v) for v in vals]
+
+    def test_unsigned_symbols(self):
+        enc = ffv1.RangeEncoder()
+        st = bytearray([128] * ffv1.CONTEXT_SIZE)
+        for v in (0, 1, 9, 500):
+            ffv1._put_symbol(enc, st, 0, v, False)
+        dec = ffv1.RangeDecoder(enc.finish())
+        st = bytearray([128] * ffv1.CONTEXT_SIZE)
+        assert [ffv1._get_symbol(dec, st, 0, False)
+                for _ in range(4)] == [0, 1, 9, 500]
+
+    def test_short_packet_rejected(self):
+        with pytest.raises(ffv1.FFV1Error):
+            ffv1.RangeDecoder(b"\x00")
+
+
+class TestQuantTables:
+    def test_default_table_symmetry(self):
+        qt = ffv1.default_quant_table(6)
+        for d in range(1, 128):
+            assert qt[256 - d] == -qt[d]
+        assert qt[0] == 0 and qt[127] == 5
+
+    def test_write_read_roundtrip(self):
+        for levels in (2, 4, 6, 9):
+            qt = ffv1.default_quant_table(levels)
+            enc = ffv1.RangeEncoder()
+            ffv1._write_quant_table(enc, qt)
+            dec = ffv1.RangeDecoder(enc.finish())
+            got = ffv1._read_quant_table(dec)
+            assert np.array_equal(got, qt)
+
+    def test_all_zero_table(self):
+        qt = np.zeros(256, np.int16)
+        enc = ffv1.RangeEncoder()
+        ffv1._write_quant_table(enc, qt)
+        dec = ffv1.RangeDecoder(enc.finish())
+        assert np.array_equal(ffv1._read_quant_table(dec), qt)
+
+
+class TestFrameRoundtrip:
+    @pytest.mark.parametrize("w,h", [(48, 32), (36, 22), (2, 2), (64, 2)])
+    def test_keyframes(self, w, h):
+        y, u, v = _planes(w, h)
+        pkt = ffv1.FFV1Encoder(w, h).encode([y, u, v])
+        ry, ru, rv = ffv1.FFV1Decoder(w, h).decode(pkt)
+        assert np.array_equal(ry, y)
+        assert np.array_equal(ru, u)
+        assert np.array_equal(rv, v)
+
+    def test_noise_frame(self):
+        y, u, v = _planes(48, 32, seed=3, smooth=False)
+        pkt = ffv1.FFV1Encoder(48, 32).encode([y, u, v])
+        ry, ru, rv = ffv1.FFV1Decoder(48, 32).decode(pkt)
+        assert np.array_equal(ry, y) and np.array_equal(ru, u) \
+            and np.array_equal(rv, v)
+
+    def test_inter_frames_chain_states(self):
+        w, h = 48, 32
+        frames = [_planes(w, h, seed=s) for s in range(4)]
+        pkts = ffv1.encode_frames_i420(frames, w, h, all_keyframes=False)
+        dec = ffv1.FFV1Decoder(w, h)
+        for (y, u, v), pkt in zip(frames, pkts):
+            ry, ru, rv = dec.decode(pkt)
+            assert np.array_equal(ry, y) and np.array_equal(ru, u) \
+                and np.array_equal(rv, v)
+        # inter packets are smaller than re-keyframing the same content
+        kpkts = ffv1.encode_frames_i420(frames, w, h, all_keyframes=True)
+        assert sum(len(p) for p in pkts[1:]) < sum(
+            len(p) for p in kpkts[1:])
+
+    def test_inter_without_keyframe_rejected(self):
+        w, h = 32, 16
+        frames = [_planes(w, h, seed=s) for s in range(2)]
+        pkts = ffv1.encode_frames_i420(frames, w, h, all_keyframes=False)
+        dec = ffv1.FFV1Decoder(w, h)
+        with pytest.raises(ffv1.FFV1Error, match="keyframe"):
+            dec.decode(pkts[1])
+        # reset() after a seek behaves the same as a fresh decoder
+        dec2 = ffv1.FFV1Decoder(w, h)
+        dec2.decode(pkts[0])
+        dec2.reset()
+        with pytest.raises(ffv1.FFV1Error, match="keyframe"):
+            dec2.decode(pkts[1])
+
+    def test_gray(self):
+        w, h = 40, 24
+        y, _, _ = _planes(w, h)
+        p = ffv1.FFV1Params(chroma_planes=False)
+        pkt = ffv1.FFV1Encoder(w, h, p).encode([y])
+        (ry,) = ffv1.FFV1Decoder(w, h).decode(pkt)
+        assert np.array_equal(ry, y)
+
+    @pytest.mark.parametrize("hs,vs", [(1, 0), (0, 0), (2, 2)])
+    def test_chroma_geometries(self, hs, vs):
+        w, h = 40, 24
+        y, _, _ = _planes(w, h)
+        cw = (w + (1 << hs) - 1) >> hs
+        ch = (h + (1 << vs) - 1) >> vs
+        rng = np.random.default_rng(7)
+        u = rng.integers(0, 256, (ch, cw), dtype=np.uint8)
+        v = rng.integers(0, 256, (ch, cw), dtype=np.uint8)
+        p = ffv1.FFV1Params(h_shift=hs, v_shift=vs)
+        pkt = ffv1.FFV1Encoder(w, h, p).encode([y, u, v])
+        ry, ru, rv = ffv1.FFV1Decoder(w, h).decode(pkt)
+        assert np.array_equal(ry, y) and np.array_equal(ru, u) \
+            and np.array_equal(rv, v)
+
+    def test_odd_dimensions(self):
+        w, h = 33, 21
+        y, u, v = _planes(w, h, seed=5)
+        pkt = ffv1.FFV1Encoder(w, h).encode([y, u, v])
+        ry, ru, rv = ffv1.FFV1Decoder(w, h).decode(pkt)
+        assert np.array_equal(ry, y) and np.array_equal(ru, u)
+
+    def test_five_context_model(self):
+        w, h = 40, 24
+        qt = ffv1.default_quant_table(6)
+        q3 = ffv1.default_quant_table(3)
+        p = ffv1.FFV1Params(quant_tables=[qt, qt, qt, q3, q3])
+        assert p.five_context and p.context_count == 16638
+        y, u, v = _planes(w, h, seed=6)
+        pkt = ffv1.FFV1Encoder(w, h, p).encode([y, u, v])
+        ry, ru, rv = ffv1.FFV1Decoder(w, h).decode(pkt)
+        assert np.array_equal(ry, y) and np.array_equal(ru, u) \
+            and np.array_equal(rv, v)
+
+    def test_custom_state_transition(self):
+        one = ffv1._ONE_STATE.astype(np.int32).copy()
+        one[one == 0] = 1
+        one[10:200] = np.clip(one[10:200] + 3, 1, 255)
+        zero = np.zeros(256, np.int32)
+        for i in range(1, 256):
+            zero[256 - i] = 256 - one[i]
+        p = ffv1.FFV1Params(coder_type=2, state_transition=(
+            one.astype(np.uint8), zero.astype(np.uint8)))
+        w, h = 40, 24
+        frames = [_planes(w, h, seed=s) for s in range(2)]
+        enc = ffv1.FFV1Encoder(w, h, p)
+        pkts = [enc.encode(list(frames[0])),
+                enc.encode(list(frames[1]), keyframe=False)]
+        dec = ffv1.FFV1Decoder(w, h)
+        for (y, u, v), pkt in zip(frames, pkts):
+            ry, ru, rv = dec.decode(pkt)
+            assert np.array_equal(ry, y) and np.array_equal(ru, u)
+
+    def test_compresses_smooth_content(self):
+        w, h = 64, 48
+        y = np.tile(np.arange(w, dtype=np.uint8), (h, 1))
+        u = np.full((h // 2, w // 2), 100, np.uint8)
+        v = np.full((h // 2, w // 2), 200, np.uint8)
+        pkt = ffv1.FFV1Encoder(w, h).encode([y, u, v])
+        assert len(pkt) < w * h * 3 // 2 // 4   # >4x on trivial content
+
+
+class TestMalformed:
+    def test_transparency_rejected(self):
+        p = ffv1.FFV1Params(transparency=True)
+        enc = ffv1.RangeEncoder()
+        ffv1._write_params(enc, p)
+        c = ffv1.RangeDecoder(enc.finish())
+        with pytest.raises(ffv1.FFV1Error, match="transparency"):
+            ffv1._read_params(c)
+
+    def test_v2_inline_params_rejected(self):
+        p = ffv1.FFV1Params(version=2)
+        enc = ffv1.RangeEncoder()
+        ffv1._write_params(enc, p)
+        c = ffv1.RangeDecoder(enc.finish())
+        with pytest.raises(ffv1.FFV1Error, match="version"):
+            ffv1._read_params(c)
+
+    def test_16bit_rejected(self):
+        p = ffv1.FFV1Params(bits=16)
+        enc = ffv1.RangeEncoder()
+        ffv1._write_params(enc, p)
+        c = ffv1.RangeDecoder(enc.finish())
+        with pytest.raises(ffv1.FFV1Error, match="bit"):
+            ffv1._read_params(c)
+
+    def test_truncated_packet(self):
+        w, h = 32, 16
+        y, u, v = _planes(w, h)
+        pkt = ffv1.FFV1Encoder(w, h).encode([y, u, v])
+        with pytest.raises(ffv1.FFV1Error):
+            ffv1.FFV1Decoder(w, h).decode(pkt[:len(pkt) // 3])
+
+    def test_fuzz_never_crashes(self):
+        w, h = 32, 16
+        y, u, v = _planes(w, h, seed=9)
+        base = ffv1.FFV1Encoder(w, h).encode([y, u, v])
+        rng = np.random.default_rng(11)
+        rejected = 0
+        for _ in range(200):
+            ba = bytearray(base)
+            for _ in range(int(rng.integers(1, 6))):
+                ba[int(rng.integers(0, len(ba)))] = int(
+                    rng.integers(0, 256))
+            try:
+                ffv1.FFV1Decoder(w, h).decode(bytes(ba))
+            except ffv1.FFV1Error:
+                rejected += 1
+        assert rejected > 0  # mutations overwhelmingly detected
+
+    def test_truncation_fuzz(self):
+        w, h = 32, 16
+        y, u, v = _planes(w, h, seed=10)
+        base = ffv1.FFV1Encoder(w, h).encode([y, u, v])
+        for cut in range(0, len(base), max(1, len(base) // 40)):
+            try:
+                ffv1.FFV1Decoder(w, h).decode(base[:cut])
+            except ffv1.FFV1Error:
+                pass
+
+
+class TestNV12Glue:
+    def test_420_passthrough(self):
+        w, h = 40, 24
+        y, u, v = _planes(w, h, seed=12)
+        pkt = ffv1.FFV1Encoder(w, h).encode([y, u, v])
+        ry, ruv = ffv1.decode_to_nv12(ffv1.FFV1Decoder(w, h), pkt)
+        assert np.array_equal(ry, y)
+        assert np.array_equal(ruv[:, 0::2], u)
+        assert np.array_equal(ruv[:, 1::2], v)
+
+    def test_422_averages_vertically(self):
+        w, h = 8, 4
+        y = np.zeros((h, w), np.uint8)
+        u = np.repeat(np.arange(h, dtype=np.uint8)[:, None] * 10, 4,
+                      axis=1)
+        v = u + 1
+        p = ffv1.FFV1Params(h_shift=1, v_shift=0)
+        pkt = ffv1.FFV1Encoder(w, h, p).encode([y, u, v])
+        _, ruv = ffv1.decode_to_nv12(ffv1.FFV1Decoder(w, h), pkt)
+        assert np.array_equal(ruv[:, 0::2],
+                              np.array([[5] * 4, [25] * 4], np.uint8))
+
+    def test_gray_neutral_chroma(self):
+        w, h = 16, 8
+        y, _, _ = _planes(w, h)
+        p = ffv1.FFV1Params(chroma_planes=False)
+        pkt = ffv1.FFV1Encoder(w, h, p).encode([y])
+        ry, ruv = ffv1.decode_to_nv12(ffv1.FFV1Decoder(w, h), pkt)
+        assert np.array_equal(ry, y) and (ruv == 128).all()
+
+    def test_odd_dims_padded(self):
+        w, h = 33, 21
+        y, u, v = _planes(w, h, seed=13)
+        pkt = ffv1.FFV1Encoder(w, h).encode([y, u, v])
+        ry, ruv = ffv1.decode_to_nv12(ffv1.FFV1Decoder(w, h), pkt)
+        assert ry.shape == (22, 34) and ruv.shape == (11, 34)
+        assert np.array_equal(ry[:h, :w], y)
+
+
+def _vector_packets(n=4, w=48, h=32, all_keyframes=True):
+    frames = [_planes(w, h, seed=s) for s in range(n)]
+    return frames, ffv1.encode_frames_i420(frames, w, h,
+                                           all_keyframes=all_keyframes)
+
+
+class TestContainers:
+    def test_avi_ffv1_plays(self, tmp_path):
+        from tests.test_jpeg import build_avi
+        from mpv_frame_interpolator_tpu.io.avi import AVIReader
+        frames, pkts = _vector_packets()
+        data = build_avi(pkts, 48, 32, fourcc=b"FFV1")
+        p = tmp_path / "f.avi"
+        p.write_bytes(data)
+        rd = AVIReader(str(p))
+        got = list(rd)
+        assert len(got) == 4
+        for f, (y, u, v) in zip(got, frames):
+            assert np.array_equal(f.y, y)
+            assert np.array_equal(f.uv[:, 0::2], u)
+
+    def test_avi_ffv1_seek_all_keyframes(self, tmp_path):
+        from tests.test_jpeg import build_avi
+        from mpv_frame_interpolator_tpu.io.avi import AVIReader
+        frames, pkts = _vector_packets()
+        p = tmp_path / "f.avi"
+        p.write_bytes(build_avi(pkts, 48, 32, fourcc=b"FFV1"))
+        rd = AVIReader(str(p))
+        rd.seek_frame(2)
+        f = next(iter(rd))
+        assert np.array_equal(f.y, frames[2][0])
+        rd.seek_frame(0)               # backward seek resets states
+        f = next(iter(rd))
+        assert np.array_equal(f.y, frames[0][0])
+
+    def test_avi_ffv1_seek_into_gop_rejected(self, tmp_path):
+        from tests.test_jpeg import build_avi
+        from mpv_frame_interpolator_tpu.io.avi import AVIError, AVIReader
+        frames, pkts = _vector_packets(all_keyframes=False)
+        p = tmp_path / "g.avi"
+        p.write_bytes(build_avi(pkts, 48, 32, fourcc=b"FFV1"))
+        rd = AVIReader(str(p))
+        rd.seek_frame(2)
+        with pytest.raises(AVIError, match="keyframe"):
+            next(iter(rd))
+
+    def test_mkv_ffv1_plays(self, tmp_path):
+        from tests.test_mkv import build_mkv
+        from mpv_frame_interpolator_tpu.io.mkv import MKVReader
+        frames, pkts = _vector_packets()
+        data = build_mkv(None, 48, 32, codec=b"V_FFV1", payloads=pkts)
+        p = tmp_path / "f.mkv"
+        p.write_bytes(data)
+        rd = MKVReader(str(p))
+        got = list(rd)
+        assert len(got) == 4
+        for f, (y, u, v) in zip(got, frames):
+            assert np.array_equal(f.y, y)
+            assert np.array_equal(f.uv[:, 1::2], v)
+
+    def test_mkv_ffv1_inter_frames_play_sequentially(self, tmp_path):
+        from tests.test_mkv import build_mkv
+        from mpv_frame_interpolator_tpu.io.mkv import MKVReader
+        frames, pkts = _vector_packets(all_keyframes=False)
+        p = tmp_path / "g.mkv"
+        p.write_bytes(build_mkv(None, 48, 32, codec=b"V_FFV1",
+                                payloads=pkts))
+        got = list(MKVReader(str(p)))
+        assert len(got) == 4
+        assert np.array_equal(got[3].y, frames[3][0])
+
+    def test_mkv_v3_configuration_record_rejected(self, tmp_path):
+        from tests.test_mkv import build_mkv
+        from mpv_frame_interpolator_tpu.io.mkv import MKVError, MKVReader
+        # author a ConfigurationRecord-style blob whose first symbol is 3
+        enc = ffv1.RangeEncoder()
+        st = bytearray([128] * ffv1.CONTEXT_SIZE)
+        ffv1._put_symbol(enc, st, 0, 3, False)
+        record = enc.finish() + b"\x00" * 8
+        _, pkts = _vector_packets()
+        data = build_mkv(None, 48, 32, codec=b"V_FFV1", payloads=pkts,
+                         codec_private=record)
+        p = tmp_path / "v3.mkv"
+        p.write_bytes(data)
+        with pytest.raises(MKVError, match="version 3"):
+            MKVReader(str(p))
+
+    def test_cli_transcodes_ffv1_avi(self, tmp_path):
+        from tests.test_jpeg import build_avi
+        from mpv_frame_interpolator_tpu.cli import main
+        _, pkts = _vector_packets()
+        src = tmp_path / "in.avi"
+        src.write_bytes(build_avi(pkts, 48, 32, fourcc=b"FFV1"))
+        out = tmp_path / "out.y4m"
+        rc = main([str(src), "--untimed", "--model", "repeat",
+                   "-o", str(out)])
+        assert rc == 0 and out.stat().st_size > 0
