@@ -31,8 +31,9 @@ def ffmpeg_source(path: str, pixfmt: str = NV12, threads: int = 0,
         raise RuntimeError(
             f"cannot open {path!r}: ffmpeg is not installed; natively "
             f"readable formats are .y4m, .yuv (raw I420), MKV/MP4/AVI "
-            f"with uncompressed video, and Motion-JPEG in any of those "
-            f"containers or as a raw .mjpeg stream (io/jpeg.py)")
+            f"with uncompressed video, Motion-JPEG in any of those "
+            f"containers or as a raw .mjpeg stream (io/jpeg.py), "
+            f"Ut Video (io/utvideo.py), and FFV1 v0/1 (io/ffv1.py)")
     outfmt = "yuv420p" if pixfmt == NV12 else "yuv420p10le"
     cmd = ["ffmpeg", "-nostdin", "-loglevel", "error", "-i", path,
            "-map", "0:v:0", "-pix_fmt", outfmt, "-f", "yuv4mpegpipe", "-"]

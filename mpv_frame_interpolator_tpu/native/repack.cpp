@@ -653,6 +653,9 @@ static PyTypeObject IndexedRingType = {
 
 extern "C" PyObject* mfi_decode_jpeg(PyObject*, PyObject*);  // native/jpeg.cpp
 extern "C" PyObject* mfi_decode_utvideo(PyObject*, PyObject*);  // native/utvideo.cpp
+extern "C" PyObject* mfi_ffv1_create(PyObject*, PyObject*);  // native/ffv1.cpp
+extern "C" PyObject* mfi_ffv1_reset(PyObject*, PyObject*);
+extern "C" PyObject* mfi_ffv1_decode(PyObject*, PyObject*);
 
 static PyMethodDef module_methods[] = {
     {"interleave_chroma", py_interleave, METH_VARARGS,
@@ -663,6 +666,12 @@ static PyMethodDef module_methods[] = {
      "decode_jpeg(data) -> (w, h, y, u, v): baseline JPEG -> I420 planes"},
     {"decode_utvideo", mfi_decode_utvideo, METH_VARARGS,
      "decode_utvideo(data, fourcc, w, h, slices) -> (y, u, v) planes"},
+    {"ffv1_create", mfi_ffv1_create, METH_VARARGS,
+     "ffv1_create(w, h) -> stateful FFV1 stream decoder capsule"},
+    {"ffv1_reset", mfi_ffv1_reset, METH_VARARGS,
+     "ffv1_reset(capsule): drop chained context state (after a seek)"},
+    {"ffv1_decode", mfi_ffv1_decode, METH_VARARGS,
+     "ffv1_decode(capsule, data) -> ((plane_bytes, w, h), ...)"},
     {nullptr, nullptr, 0, nullptr},
 };
 

@@ -306,6 +306,93 @@ class TestNV12Glue:
         assert np.array_equal(ry[:h, :w], y)
 
 
+class TestNative:
+    """native/ffv1.cpp vs the Python oracle (skipped when not built)."""
+
+    def _need_native(self):
+        if not ffv1.have_native():
+            pytest.skip("native extension not built")
+
+    def test_matches_python_oracle(self):
+        self._need_native()
+        w, h = 48, 32
+        frames = [_planes(w, h, seed=s, smooth=s % 2 == 0)
+                  for s in range(4)]
+        pkts = ffv1.encode_frames_i420(frames, w, h, all_keyframes=False)
+        dn = ffv1.FFV1Decoder(w, h, use_native=True)
+        dp = ffv1.FFV1Decoder(w, h, use_native=False)
+        assert dn._native is not None and dp._native is None
+        for (y, u, v), pkt in zip(frames, pkts):
+            pn, pp = dn.decode(pkt), dp.decode(pkt)
+            for a, b, ref in zip(pn, pp, (y, u, v)):
+                assert np.array_equal(a, b) and np.array_equal(a, ref)
+        assert (dn.h_shift, dn.v_shift) == (dp.h_shift, dp.v_shift)
+
+    @pytest.mark.parametrize("hs,vs,chroma", [(1, 0, True), (0, 0, True),
+                                              (1, 1, False)])
+    def test_native_geometries(self, hs, vs, chroma):
+        self._need_native()
+        w, h = 36, 22
+        y, _, _ = _planes(w, h, seed=3)
+        p = ffv1.FFV1Params(chroma_planes=chroma, h_shift=hs, v_shift=vs)
+        planes = [y]
+        if chroma:
+            rng = np.random.default_rng(4)
+            cw = (w + (1 << hs) - 1) >> hs
+            ch = (h + (1 << vs) - 1) >> vs
+            planes += [rng.integers(0, 256, (ch, cw), dtype=np.uint8),
+                       rng.integers(0, 256, (ch, cw), dtype=np.uint8)]
+        pkt = ffv1.FFV1Encoder(w, h, p).encode(planes)
+        got = ffv1.FFV1Decoder(w, h, use_native=True).decode(pkt)
+        for a, ref in zip(got, planes):
+            assert np.array_equal(a, ref)
+
+    def test_native_reset_and_failed_decode_rollback(self):
+        self._need_native()
+        w, h = 32, 16
+        frames = [_planes(w, h, seed=s) for s in range(3)]
+        pkts = ffv1.encode_frames_i420(frames, w, h, all_keyframes=False)
+        d = ffv1.FFV1Decoder(w, h, use_native=True)
+        d.decode(pkts[0])
+        # a truncated inter packet fails cleanly AND leaves the chain
+        # state intact for the real packet
+        with pytest.raises(ffv1.FFV1Error):
+            d.decode(pkts[1][:10])
+        got = d.decode(pkts[1])
+        assert np.array_equal(got[0], frames[1][0])
+        d.reset()
+        with pytest.raises(ffv1.FFV1Error, match="keyframe"):
+            d.decode(pkts[2])
+
+    def test_native_fuzz_never_crashes(self):
+        self._need_native()
+        w, h = 32, 16
+        y, u, v = _planes(w, h, seed=9)
+        base = ffv1.FFV1Encoder(w, h).encode([y, u, v])
+        rng = np.random.default_rng(21)
+        for _ in range(300):
+            ba = bytearray(base)
+            for _ in range(int(rng.integers(1, 8))):
+                ba[int(rng.integers(0, len(ba)))] = int(
+                    rng.integers(0, 256))
+            d = ffv1.FFV1Decoder(w, h, use_native=True)
+            try:
+                d.decode(bytes(ba))
+            except ffv1.FFV1Error:
+                pass
+
+    def test_native_truncation_fuzz(self):
+        self._need_native()
+        w, h = 32, 16
+        y, u, v = _planes(w, h, seed=10)
+        base = ffv1.FFV1Encoder(w, h).encode([y, u, v])
+        for cut in range(0, len(base), max(1, len(base) // 60)):
+            try:
+                ffv1.FFV1Decoder(w, h, use_native=True).decode(base[:cut])
+            except ffv1.FFV1Error:
+                pass
+
+
 def _vector_packets(n=4, w=48, h=32, all_keyframes=True):
     frames = [_planes(w, h, seed=s) for s in range(n)]
     return frames, ffv1.encode_frames_i420(frames, w, h,
