@@ -23,7 +23,8 @@ from typing import BinaryIO, Iterator, List, Optional, Tuple
 
 import numpy as np
 
-from mpv_frame_interpolator_tpu.frame import (FrameFormat, NV12, VideoFrame,
+from mpv_frame_interpolator_tpu.frame import (FrameFormat, NV12, P010,
+                                              VideoFrame,
                                               interleave_chroma)
 from mpv_frame_interpolator_tpu.native import interleave_chroma_into
 from mpv_frame_interpolator_tpu.utils import get_logger
@@ -101,8 +102,19 @@ class AVIReader:
         self._build_index()
         if not self._index:
             raise AVIError("no video frames in movi list")
+        self._ffv1_bits = 8
+        if self._layout == "ffv1":   # probe depth: params ride keyframe 0
+            from mpv_frame_interpolator_tpu.io import ffv1 as _ffv1
+            off, size, _ = self._index[0]
+            self._fh.seek(off)
+            try:
+                self._ffv1_bits = _ffv1.probe_params(
+                    self._fh.read(min(size, 4096))).bits
+            except _ffv1.FFV1Error as e:
+                raise AVIError(f"bad FFV1 stream: {e}") from None
+        pixfmt = P010 if self._ffv1_bits > 8 else NV12
         self.fmt = FrameFormat(self.width + self.width % 2,
-                               self.height + self.height % 2, NV12)
+                               self.height + self.height % 2, pixfmt)
         self._expected = self.width * self.height * 3 // 2
 
     # -- parsing ----------------------------------------------------------
@@ -290,8 +302,10 @@ class AVIReader:
                 self._ffv1 = _ffv1.FFV1Decoder(w, h)
             if self._pos - 1 != self._ffv1_expect:
                 self._ffv1.reset()     # seek: re-enter at a keyframe
+            deep = self.fmt.pixfmt == P010
             try:
-                y, uv = _ffv1.decode_to_nv12(self._ffv1, data)
+                y, uv = (_ffv1.decode_to_p010 if deep
+                         else _ffv1.decode_to_nv12)(self._ffv1, data)
             except ValueError as e:
                 raise AVIError(f"bad FFV1 frame: {e}") from None
             self._ffv1_expect = self._pos

@@ -177,6 +177,15 @@ class MKVReader:
             self._layout = "ffv1"
             self._ffv1 = None
             self._ffv1_expect = -1
+            self._ffv1_bits = 8
+            if self._index:      # probe depth: params ride keyframe 0
+                off, size, _ = self._index[0]
+                self._fh.seek(off)
+                try:
+                    self._ffv1_bits = _ffv1.probe_params(
+                        self._fh.read(min(size, 4096))).bits
+                except _ffv1.FFV1Error as e:
+                    raise MKVError(f"bad FFV1 stream: {e}") from None
         elif t.codec_id != "V_UNCOMPRESSED":
             raise MKVError(
                 f"track codec {t.codec_id!r} needs an external decoder "
@@ -199,8 +208,9 @@ class MKVReader:
         self.width, self.height = t.width, t.height
         self.fps = (1e9 / t.default_duration_ns
                     if t.default_duration_ns else self._infer_fps())
+        pixfmt = P010 if getattr(self, "_ffv1_bits", 8) > 8 else NV12
         self.fmt = FrameFormat(self.width + self.width % 2,
-                               self.height + self.height % 2, NV12)
+                               self.height + self.height % 2, pixfmt)
         self._expected = self.width * self.height * 3 // 2
 
     # -- parsing ----------------------------------------------------------
@@ -372,8 +382,10 @@ class MKVReader:
                 self._ffv1 = _ffv1.FFV1Decoder(w, h)
             if self._pos - 1 != self._ffv1_expect:
                 self._ffv1.reset()     # seek: re-enter at a keyframe
+            deep = self.fmt.pixfmt == P010
             try:
-                y, uv = _ffv1.decode_to_nv12(self._ffv1, data)
+                y, uv = (_ffv1.decode_to_p010 if deep
+                         else _ffv1.decode_to_nv12)(self._ffv1, data)
             except ValueError as e:
                 raise MKVError(f"bad FFV1 frame: {e}") from None
             self._ffv1_expect = self._pos

@@ -12,7 +12,8 @@
 //   _mfi_native.ffv1_create(width, height) -> capsule
 //   _mfi_native.ffv1_reset(capsule)                 (after seeks)
 //   _mfi_native.ffv1_decode(capsule, data)
-//       -> ((y_bytes, w, h), [(u_bytes, cw, ch), (v_bytes, cw, ch)])
+//       -> (bits, ((y_bytes, w, h), [(u_bytes, cw, ch), ...]))
+//       plane bytes are uint8 for bits<=8, little-endian uint16 above
 // Every read is bounds-checked; raises ValueError on any malformed
 // input; fuzz-driven in tests/test_ffv1.py.
 
@@ -133,6 +134,7 @@ static int64_t get_symbol(RangeDec& c, uint8_t* st, bool is_signed) {
 struct FFV1State {
   int width = 0, height = 0;
   bool has_params = false;
+  int bits = 8;
   int version = 0, coder_type = 1, h_shift = 1, v_shift = 1;
   bool chroma = true;
   bool has_custom = false;
@@ -192,7 +194,8 @@ static void read_params(RangeDec& c, FFV1State& s) {
   if (colorspace != 0) throw FFV1Err("colorspace unsupported");
   int64_t bits = version > 0 ? get_symbol(c, st, false) : 8;
   if (bits == 0) bits = 8;
-  if (bits != 8) throw FFV1Err("only 8-bit FFV1 supported");
+  if (bits < 8 || bits > 16)
+    throw FFV1Err("only 8..16-bit FFV1 supported");
   s.chroma = c.get(st) != 0;
   int64_t hs = get_symbol(c, st, false);
   int64_t vs = get_symbol(c, st, false);
@@ -210,6 +213,7 @@ static void read_params(RangeDec& c, FFV1State& s) {
       throw FFV1Err("context space too large");
   }
   s.version = (int)version;
+  s.bits = (int)bits;
   s.coder_type = (int)coder;
   s.h_shift = (int)hs;
   s.v_shift = (int)vs;
@@ -217,10 +221,13 @@ static void read_params(RangeDec& c, FFV1State& s) {
   s.five = s.scaled[3][127] != 0 || s.scaled[4][127] != 0;
 }
 
-// io/ffv1.py _decode_plane: two-row ring, padded by 3 left / 3 right
+// io/ffv1.py _decode_plane: two-row ring, padded by 3 left / 3 right.
+// Samples store as uint8 (bits<=8) or little-endian uint16 in `out`.
 static void decode_plane(RangeDec& c, uint8_t* ctx_states,
                          const FFV1State& s, int w, int h, uint8_t* out) {
   std::vector<int32_t> buf(2 * (size_t)(w + 6), 0);
+  const int32_t mask = (int32_t)((1u << s.bits) - 1);
+  const bool wide = s.bits > 8;
   int cur = 1;
   const int32_t* q0 = s.scaled[0];
   const int32_t* q1 = s.scaled[1];
@@ -254,8 +261,13 @@ static void decode_plane(RangeDec& c, uint8_t* ctx_states,
       int32_t grad = L + T - LT;
       int32_t lo = L < T ? L : T, hi = L < T ? T : L;
       int32_t pred = grad < lo ? lo : (grad > hi ? hi : grad);
-      line[x] = (int32_t)((pred + diff) & 0xFF);
-      out[(size_t)y * w + x] = (uint8_t)line[x];
+      line[x] = (int32_t)((pred + diff) & mask);
+      if (wide) {
+        out[2 * ((size_t)y * w + x)] = (uint8_t)(line[x] & 0xFF);
+        out[2 * ((size_t)y * w + x) + 1] = (uint8_t)(line[x] >> 8);
+      } else {
+        out[(size_t)y * w + x] = (uint8_t)line[x];
+      }
     }
   }
 }
@@ -294,9 +306,10 @@ static void decode_packet(FFV1State& s, const uint8_t* data, size_t len,
     ph[1] = ph[2] = ch;
     *nplanes = 3;
   }
+  size_t itemsize = s.bits > 8 ? 2 : 1;
   for (int p = 0; p < *nplanes; p++) {
     int si = p == 0 ? 0 : 1;  // Cb and Cr share one state set
-    planes[p].resize((size_t)pw[p] * ph[p]);
+    planes[p].resize((size_t)pw[p] * ph[p] * itemsize);
     decode_plane(c, s.states[si].data(), s, pw[p], ph[p],
                  planes[p].data());
   }
@@ -376,5 +389,5 @@ extern "C" PyObject* mfi_ffv1_decode(PyObject*, PyObject* args) {
     }
     PyTuple_SET_ITEM(out, p, item);
   }
-  return out;
+  return Py_BuildValue("(iN)", s->bits, out);
 }

@@ -224,10 +224,14 @@ class TestMalformed:
         with pytest.raises(ffv1.FFV1Error, match="version"):
             ffv1._read_params(c)
 
-    def test_16bit_rejected(self):
-        p = ffv1.FFV1Params(bits=16)
+    def test_out_of_range_bits_rejected(self):
+        with pytest.raises(ffv1.FFV1Error):
+            ffv1.FFV1Params(bits=17)
+        # wire-level: version=1, coder=1, colorspace=0, bits=17
         enc = ffv1.RangeEncoder()
-        ffv1._write_params(enc, p)
+        st = bytearray([128] * ffv1.CONTEXT_SIZE)
+        for v in (1, 1, 0, 17):
+            ffv1._put_symbol(enc, st, 0, v, False)
         c = ffv1.RangeDecoder(enc.finish())
         with pytest.raises(ffv1.FFV1Error, match="bit"):
             ffv1._read_params(c)
@@ -391,6 +395,98 @@ class TestNative:
                 ffv1.FFV1Decoder(w, h, use_native=True).decode(base[:cut])
             except ffv1.FFV1Error:
                 pass
+
+
+class TestDeepBits:
+    """bits_per_raw_sample > 8 (the P010 pipeline's archival input)."""
+
+    @pytest.mark.parametrize("bits", [10, 12, 16])
+    def test_roundtrip(self, bits):
+        rng = np.random.default_rng(bits)
+        w, h = 36, 22
+        top = 1 << bits
+        y = rng.integers(0, top, (h, w), dtype=np.uint16)
+        u = rng.integers(0, top, (h // 2, w // 2), dtype=np.uint16)
+        v = rng.integers(0, top, (h // 2, w // 2), dtype=np.uint16)
+        p = ffv1.FFV1Params(bits=bits)
+        enc = ffv1.FFV1Encoder(w, h, p)
+        y2 = ((y.astype(np.uint32) + 3) % top).astype(np.uint16)
+        pkts = [enc.encode([y, u, v]),
+                enc.encode([y2, u, v], keyframe=False)]
+        for nat in ([False, True] if ffv1.have_native() else [False]):
+            d = ffv1.FFV1Decoder(w, h, use_native=nat)
+            ry, ru, rv = d.decode(pkts[0])
+            assert ry.dtype == np.uint16 and d.bits == bits
+            assert np.array_equal(ry, y) and np.array_equal(ru, u) \
+                and np.array_equal(rv, v)
+            ry2, _, _ = d.decode(pkts[1])
+            assert np.array_equal(ry2, y2)
+
+    def test_probe_params(self):
+        w, h = 16, 8
+        rng = np.random.default_rng(1)
+        y = rng.integers(0, 1024, (h, w), dtype=np.uint16)
+        u = rng.integers(0, 1024, (h // 2, w // 2), dtype=np.uint16)
+        pkt = ffv1.FFV1Encoder(w, h, ffv1.FFV1Params(bits=10)).encode(
+            [y, u, u.copy()])
+        p = ffv1.probe_params(pkt)
+        assert p.bits == 10 and p.chroma_planes
+        with pytest.raises(ffv1.FFV1Error):
+            ffv1.probe_params(b"\x00\x00\x00\x00")
+
+    def test_p010_glue(self):
+        w, h = 16, 8
+        rng = np.random.default_rng(2)
+        y = rng.integers(0, 1024, (h, w), dtype=np.uint16)
+        u = rng.integers(0, 1024, (h // 2, w // 2), dtype=np.uint16)
+        v = rng.integers(0, 1024, (h // 2, w // 2), dtype=np.uint16)
+        pkt = ffv1.FFV1Encoder(w, h, ffv1.FFV1Params(bits=10)).encode(
+            [y, u, v])
+        yp, uvp = ffv1.decode_to_p010(ffv1.FFV1Decoder(w, h), pkt)
+        assert yp.dtype == np.uint16
+        assert np.array_equal(yp, y << 6)        # payload high-aligned
+        assert np.array_equal(uvp[:, 1::2], v << 6)
+        # 8-bit streams upshift by 8 on the P010 path
+        y8, u8, v8 = _planes(w, h, seed=3)
+        pkt8 = ffv1.FFV1Encoder(w, h).encode([y8, u8, v8])
+        yp8, _ = ffv1.decode_to_p010(ffv1.FFV1Decoder(w, h), pkt8)
+        assert np.array_equal(yp8, y8.astype(np.uint16) << 8)
+
+    def test_nv12_glue_rounds(self):
+        w, h = 16, 8
+        rng = np.random.default_rng(4)
+        y = rng.integers(0, 1024, (h, w), dtype=np.uint16)
+        u = rng.integers(0, 1024, (h // 2, w // 2), dtype=np.uint16)
+        pkt = ffv1.FFV1Encoder(w, h, ffv1.FFV1Params(bits=10)).encode(
+            [y, u, u.copy()])
+        yn, _ = ffv1.decode_to_nv12(ffv1.FFV1Decoder(w, h), pkt)
+        assert yn.dtype == np.uint8
+        want = (np.minimum(y.astype(np.uint32) + 2, 1023) >> 2
+                ).astype(np.uint8)
+        assert np.array_equal(yn, want)
+
+    def test_mkv_10bit_plays_as_p010(self, tmp_path):
+        from tests.test_mkv import build_mkv
+        from mpv_frame_interpolator_tpu.frame import P010
+        from mpv_frame_interpolator_tpu.io.mkv import MKVReader
+        w, h = 32, 16
+        rng = np.random.default_rng(5)
+        p = ffv1.FFV1Params(bits=10)
+        enc = ffv1.FFV1Encoder(w, h, p)
+        ys = [rng.integers(0, 1024, (h, w), dtype=np.uint16)
+              for _ in range(3)]
+        us = [rng.integers(0, 1024, (h // 2, w // 2), dtype=np.uint16)
+              for _ in range(3)]
+        pkts = [enc.encode([y, u, u.copy()]) for y, u in zip(ys, us)]
+        f = tmp_path / "deep.mkv"
+        f.write_bytes(build_mkv(None, w, h, codec=b"V_FFV1",
+                                payloads=pkts))
+        rd = MKVReader(str(f))
+        assert rd.fmt.pixfmt == P010
+        got = list(rd)
+        assert len(got) == 3
+        assert got[1].y.dtype == np.uint16
+        assert np.array_equal(got[1].y, ys[1] << 6)
 
 
 def _vector_packets(n=4, w=48, h=32, all_keyframes=True):
