@@ -459,7 +459,10 @@ def _sampler_prep(geom, fields, f1y, f1u, f1v, f2y, f2u, f2v,
     return prep
 
 
-_BIG32 = jnp.int32(0x7FFFFFFF)
+# plain numpy scalar: a module-level jnp constant would initialize the
+# default jax backend at import time, before the CLI's MFI_PLATFORM
+# switch can run (found as a test-subprocess-on-the-relay hang, round 5)
+_BIG32 = np.int32(0x7FFFFFFF)
 _C64 = 1 << 14     # 1/64-pel displacement pack center (|d64| <= 64*_ROLL_B)
 
 
