@@ -439,6 +439,7 @@ def main(argv=None) -> int:
     # playlist assembly (mp_play_files analog): positional entries plus
     # an optional --playlist file; one entry plays directly, several play
     # gapless through a ChainedSource on one engine
+    from mpv_frame_interpolator_tpu.io.playlist import EDLEntry
     entries = list(args.source)
     if args.playlist:
         from mpv_frame_interpolator_tpu.io.playlist import parse_playlist
@@ -446,19 +447,41 @@ def main(argv=None) -> int:
             entries.extend(parse_playlist(args.playlist))
         except OSError as e:
             raise SystemExit(f"cannot read playlist {args.playlist!r}: {e}")
-    args.source = entries[0]   # single-file surfaces (watch-later, logs)
+        except ValueError as e:
+            raise SystemExit(f"bad playlist {args.playlist!r}: {e}")
+    # an .edl positional entry expands into its timeline segments
+    expanded = []
+    for e in entries:
+        if isinstance(e, str) and e.lower().endswith(".edl"):
+            from mpv_frame_interpolator_tpu.io.playlist import \
+                parse_playlist
+            try:
+                expanded.extend(parse_playlist(e))
+            except (OSError, ValueError) as err:
+                raise SystemExit(f"bad EDL {e!r}: {err}")
+        else:
+            expanded.append(e)
+    entries = expanded
+    first = entries[0]
+    # single-file surfaces (watch-later, logs)
+    args.source = first.path if isinstance(first, EDLEntry) else first
 
-    if len(entries) == 1:
+    import argparse as _ap
+
+    def _open_entry(entry):
+        sub = _ap.Namespace(**vars(args))
+        if isinstance(entry, EDLEntry):
+            from mpv_frame_interpolator_tpu.io.playlist import ClipSource
+            sub.source = entry.path
+            return ClipSource(make_source(sub)[0], entry.start,
+                              entry.length)
+        sub.source = entry
+        return make_source(sub)[0]
+
+    if len(entries) == 1 and not isinstance(first, EDLEntry):
         source, width, height = make_source(args)
     else:
-        import argparse as _ap
         from mpv_frame_interpolator_tpu.io.playlist import ChainedSource
-
-        def _open_entry(entry):
-            sub = _ap.Namespace(**vars(args))
-            sub.source = entry
-            return make_source(sub)[0]
-
         source = ChainedSource(entries, _open_entry)
         width, height = source.width, source.height
         log.info("playlist: %d entries, %dx%d timeline",

@@ -30,14 +30,80 @@ from mpv_frame_interpolator_tpu.utils import get_logger
 log = get_logger("playlist")
 
 
-def parse_playlist(path: str) -> List[str]:
+@dataclasses.dataclass
+class EDLEntry:
+    """One EDL timeline segment: `path` clipped to [start, start+length)
+    seconds (length None = to the end)."""
+    path: str
+    start: float = 0.0
+    length: float = None
+
+
+def parse_edl(lines: List[str], resolve) -> List[EDLEntry]:
+    """mpv EDL v0 (demux/demux_edl.c): one segment per line,
+    `file,start,length` positionally or `name=value` params (quoted
+    `%N%...` names are supported for the file field).  Global `!`
+    header lines (no_clip, new_stream, ...) configure features this
+    player doesn't model and are rejected explicitly rather than
+    silently mis-played."""
+    if lines and lines[0].startswith("# mpv EDL"):
+        lines = lines[1:]
+    out = []
+    for ln in lines:
+        if not ln or ln.startswith("#"):
+            continue
+        if ln.startswith("!"):
+            raise ValueError(f"EDL header {ln.split(',')[0]!r} is not "
+                             f"supported (plain v0 segments only)")
+        fields = []
+        rest = ln
+        while rest:
+            if rest.startswith("%"):          # %N%<exactly N bytes>
+                n_str, _, tail = rest[1:].partition("%")
+                if not n_str.isdigit() or len(tail) < int(n_str):
+                    raise ValueError("bad EDL quoted field")
+                n = int(n_str)
+                fields.append(tail[:n])
+                rest = tail[n:].lstrip(",")
+            else:
+                field, _, rest = rest.partition(",")
+                fields.append(field.strip())
+        path, start, length = None, 0.0, None
+        for i, f in enumerate(fields):
+            key, sep, val = f.partition("=")
+            if sep and key in ("file", "start", "length"):
+                pos = ("file", "start", "length").index(key)
+            else:
+                pos, val = i, f
+            try:
+                if pos == 0:
+                    path = val
+                elif pos == 1 and val != "":
+                    start = float(val)
+                elif pos == 2 and val != "":
+                    length = float(val)
+            except ValueError:
+                raise ValueError(f"bad EDL number {val!r}") from None
+        if not path:
+            raise ValueError(f"EDL segment without a file: {ln!r}")
+        if start < 0 or (length is not None and length <= 0):
+            raise ValueError(f"bad EDL segment times: {ln!r}")
+        out.append(EDLEntry(resolve(path), start, length))
+    if not out:
+        raise ValueError("EDL with no segments")
+    return out
+
+
+def parse_playlist(path: str) -> List:
     """Entries of a playlist file: plain line lists, m3u/m3u8 (EXTM3U;
     `#EXT...` directives are metadata, every other non-blank line is an
-    entry), and pls (`[playlist]` INI, `FileN=` keys in N order) --
-    the formats demux_playlist.c's parsers cover that make sense
-    without a URL stack.  Relative entries resolve against the playlist
-    file's directory (demux_playlist.c's playlist_add_base), absolute
-    paths and URLs (scheme://, synthetic:) pass through."""
+    entry), pls (`[playlist]` INI, `FileN=` keys in N order), and mpv
+    EDL v0 timelines (`# mpv EDL v0` header or .edl suffix; segments
+    come back as EDLEntry objects) -- the formats demux_playlist.c /
+    demux_edl.c cover that make sense without a URL stack.  Relative
+    entries resolve against the playlist file's directory
+    (demux_playlist.c's playlist_add_base), absolute paths and URLs
+    (scheme://, synthetic:) pass through."""
     with open(path, encoding="utf-8", errors="replace") as fh:
         lines = [ln.strip().lstrip("﻿") for ln in fh]
     base = os.path.dirname(os.path.abspath(path))
@@ -49,6 +115,8 @@ def parse_playlist(path: str) -> List[str]:
         return os.path.join(base, entry)
 
     low = path.lower()
+    if low.endswith(".edl") or (lines and lines[0].startswith("# mpv EDL")):
+        return parse_edl(lines, resolve)
     if low.endswith(".pls") or any(ln.lower() == "[playlist]"
                                    for ln in lines[:3]):
         numbered = []
@@ -65,6 +133,44 @@ def parse_playlist(path: str) -> List[str]:
     # comments/directives, the rest are entries
     return [resolve(ln) for ln in lines
             if ln and not ln.startswith("#")]
+
+
+class ClipSource:
+    """Clip a frame source to [start, start+length) seconds of its own
+    timeline (the EDL segment semantics, demux_edl.c).  Seeks to the
+    in-point when the source can (O(1) on indexed containers); otherwise
+    skips frames on the way in.  Geometry/fps attributes proxy through;
+    emitted pts are rebased so the clip starts at 0."""
+
+    def __init__(self, src, start: float = 0.0, length: float = None):
+        self._src = src
+        self._start = float(start)
+        self._length = length if length is None else float(length)
+        for attr in ("width", "height", "fps", "fmt", "pixfmt"):
+            if hasattr(src, attr):
+                setattr(self, attr, getattr(src, attr))
+
+    def __iter__(self) -> Iterator[VideoFrame]:
+        src = self._src
+        start = self._start
+        if start > 0 and hasattr(src, "seek_pts") \
+                and getattr(src, "seekable", lambda: False)():
+            src.seek_pts(start)
+        end = None if self._length is None else start + self._length
+        # half-frame tolerance so float pts at the boundary behave
+        eps = 0.5 / self.fps if getattr(self, "fps", 0) > 0 else 1e-3
+        for f in src:
+            if f.pts < start - eps:
+                if f.recycle is not None:
+                    f.recycle()     # skipped lead-in frame
+                continue
+            if end is not None and f.pts >= end - eps:
+                break
+            yield dataclasses.replace(f, pts=f.pts - start)
+
+    def close(self):
+        if hasattr(self._src, "close"):
+            self._src.close()
 
 
 class ChainedSource:

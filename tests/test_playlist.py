@@ -148,3 +148,92 @@ class TestParsePlaylist:
         lst = tmp_path / "list.txt"
         lst.write_text("[playlist]\nFile1=a.y4m\n")
         assert parse_playlist(str(lst)) == [str(tmp_path / "a.y4m")]
+
+
+class TestEDL:
+    """mpv EDL v0 timelines (demux/demux_edl.c analog)."""
+
+    def test_parse_positional_and_named(self, tmp_path):
+        from mpv_frame_interpolator_tpu.io.playlist import (EDLEntry,
+                                                            parse_playlist)
+        p = tmp_path / "t.edl"
+        p.write_text("# mpv EDL v0\n"
+                     "a.y4m,1,2\n"
+                     "b.y4m,start=0.5,length=1.5\n"
+                     "c.y4m\n")
+        got = parse_playlist(str(p))
+        assert [type(e) for e in got] == [EDLEntry] * 3
+        assert got[0].start == 1 and got[0].length == 2
+        assert got[1].start == 0.5 and got[1].length == 1.5
+        assert got[2].start == 0 and got[2].length is None
+        assert got[0].path == str(tmp_path / "a.y4m")
+
+    def test_parse_quoted_filename(self, tmp_path):
+        from mpv_frame_interpolator_tpu.io.playlist import parse_playlist
+        p = tmp_path / "t.edl"
+        p.write_text("# mpv EDL v0\n%8%a, b.y4m,2,3\n")
+        (e,) = parse_playlist(str(p))
+        assert e.path == str(tmp_path / "a, b.y4m")
+        assert e.start == 2 and e.length == 3
+
+    def test_suffix_detection_without_header(self, tmp_path):
+        from mpv_frame_interpolator_tpu.io.playlist import parse_playlist
+        p = tmp_path / "t.edl"
+        p.write_text("a.y4m,0,1\n")
+        (e,) = parse_playlist(str(p))
+        assert e.length == 1
+
+    def test_special_headers_rejected(self, tmp_path):
+        import pytest
+        from mpv_frame_interpolator_tpu.io.playlist import parse_playlist
+        p = tmp_path / "t.edl"
+        p.write_text("# mpv EDL v0\n!no_clip\na.y4m\n")
+        with pytest.raises(ValueError, match="no_clip"):
+            parse_playlist(str(p))
+
+    def test_bad_segments_rejected(self, tmp_path):
+        import pytest
+        from mpv_frame_interpolator_tpu.io.playlist import parse_playlist
+        for body in (",1,2\n", "a.y4m,xx\n", "a.y4m,-1\n", "a.y4m,0,0\n",
+                     "# mpv EDL v0\n"):
+            p = tmp_path / "t.edl"
+            p.write_text("# mpv EDL v0\n" + body
+                         if not body.startswith("#") else body)
+            with pytest.raises(ValueError):
+                parse_playlist(str(p))
+
+    def test_clip_source_bounds_and_rebase(self, tmp_path):
+        from mpv_frame_interpolator_tpu.io.playlist import ClipSource
+        a = tmp_path / "a.y4m"
+        frames = write_y4m(a, n=12, fps=24.0)
+        # 24fps: start 4/24, length 6/24 -> frames 4..9
+        clip = ClipSource(opener(str(a)), start=4 / 24, length=6 / 24)
+        got = list(clip)
+        assert len(got) == 6
+        assert abs(got[0].pts) < 1e-6
+        assert np.array_equal(got[0].y, frames[4].y)
+        assert np.array_equal(got[-1].y, frames[9].y)
+        clip.close()
+
+    def test_clip_source_open_end(self, tmp_path):
+        from mpv_frame_interpolator_tpu.io.playlist import ClipSource
+        a = tmp_path / "a.y4m"
+        write_y4m(a, n=8, fps=24.0)
+        got = list(ClipSource(opener(str(a)), start=6 / 24))
+        assert len(got) == 2
+
+    def test_cli_edl_timeline(self, tmp_path):
+        from mpv_frame_interpolator_tpu.cli import main
+        a, b = tmp_path / "a.y4m", tmp_path / "b.y4m"
+        write_y4m(a, n=10, seed=1)
+        write_y4m(b, n=10, seed=9)
+        edl = tmp_path / "cut.edl"
+        edl.write_text("# mpv EDL v0\n"
+                       f"a.y4m,{2/24},{4/24}\n"
+                       f"b.y4m,0,{3/24}\n")
+        out = tmp_path / "out.y4m"
+        rc = main([str(edl), "--untimed", "--model", "repeat",
+                   "-o", str(out), "--display-fps", "24"])
+        assert rc == 0
+        got = list(Y4MReader(open(out, "rb")))
+        assert len(got) == 7            # 4 + 3 segment frames at 24->24
