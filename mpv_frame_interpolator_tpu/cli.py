@@ -45,9 +45,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(mp_play_files analog)")
     p.add_argument("--playlist", default="",
                    help="read additional playlist entries from this file: "
-                        "plain line lists, m3u/m3u8, or pls (mpv "
-                        "--playlist; relative entries resolve against "
-                        "the playlist's directory)")
+                        "plain line lists, m3u/m3u8, pls, or mpv EDL v0 "
+                        "timelines (segments clip to start/length; .edl "
+                        "also works as a positional input); relative "
+                        "entries resolve against the playlist's "
+                        "directory")
     p.add_argument("--width", type=int, default=1920,
                    help="synthetic/raw width")
     p.add_argument("--height", type=int, default=1080,
