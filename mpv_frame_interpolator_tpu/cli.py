@@ -591,9 +591,15 @@ def main(argv=None) -> int:
 
         sink = _StdoutSink()
     elif args.output:
-        sink = sinks.Y4MFileSink(args.output, width, height,
-                                 args.display_fps,
-                                 P010 if args.p010 else NV12)
+        if args.output.lower().endswith((".mkv", ".mka")):
+            # archival encode: FFV1 in Matroska (vo_lavc --o analog)
+            sink = sinks.FFV1MKVSink(args.output, width, height,
+                                     args.display_fps,
+                                     P010 if args.p010 else NV12)
+        else:
+            sink = sinks.Y4MFileSink(args.output, width, height,
+                                     args.display_fps,
+                                     P010 if args.p010 else NV12)
     elif args.dump_pgm:
         sink = sinks.PgmDumpSink(args.dump_pgm)
     elif args.dump_png:

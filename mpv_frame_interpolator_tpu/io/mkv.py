@@ -208,6 +208,29 @@ class MKVReader:
         self.width, self.height = t.width, t.height
         self.fps = (1e9 / t.default_duration_ns
                     if t.default_duration_ns else self._infer_fps())
+        # DefaultDuration is ns-rounded: 1/24 s stores as 41666667 ns =
+        # 23.999999808 fps, which makes cadence math emit spurious
+        # repeats.  Snap to the exact standard rate when within rounding
+        # distance (mpv's mp_get_playback_fps container-fps fixing).
+        for cand in (round(self.fps),                       # integer fps
+                     round(self.fps * 1001 / 1000) * 1000 / 1001):  # NTSC
+            if cand > 0 and abs(self.fps - cand) < 1e-4 * cand:
+                self.fps = float(cand)
+                break
+        if t.default_duration_ns and self.fps > 0:
+            # CFR pts snap (mpv's demux pts fixing analog): container
+            # ticks quantize timestamps; when a block timestamp is
+            # within 1.5 ticks of the (corrected-fps) frame grid,
+            # restore the exact rational pts so cadence math
+            # round-trips losslessly
+            tol = 1.5 * self.timestamp_scale / 1e9
+            snapped = []
+            for off, size, ts in self._index:
+                n = round(ts * self.fps)
+                snapped.append((off, size, n / self.fps)
+                               if abs(ts - n / self.fps) <= tol
+                               else (off, size, ts))
+            self._index = snapped
         pixfmt = P010 if getattr(self, "_ffv1_bits", 8) > 8 else NV12
         self.fmt = FrameFormat(self.width + self.width % 2,
                                self.height + self.height % 2, pixfmt)
@@ -418,3 +441,103 @@ class MKVReader:
 
     def close(self):
         self._fh.close()
+
+
+# -- muxer ----------------------------------------------------------------
+
+def _w_vint_id(eid: int) -> bytes:
+    out = []
+    while eid:
+        out.append(eid & 0xFF)
+        eid >>= 8
+    return bytes(reversed(out))
+
+
+def _w_vint_size(n: int, width: int = 0) -> bytes:
+    for length in range(width or 1, 9):
+        if n < (1 << (7 * length)) - 1 and (not width or length == width):
+            return (n | (1 << (7 * length))).to_bytes(length, "big")
+    raise ValueError(f"size {n} does not fit")
+
+
+def _w_elem(eid: int, payload: bytes) -> bytes:
+    return _w_vint_id(eid) + _w_vint_size(len(payload)) + payload
+
+
+def _w_uint(eid: int, v: int) -> bytes:
+    return _w_elem(eid, v.to_bytes((v.bit_length() + 7) // 8 or 1, "big"))
+
+
+class MKVWriter:
+    """Streaming Matroska muxer for one video track (the encode sink's
+    container, vo_lavc/encode_lavc.c analog).  Payload-agnostic: pass
+    the codec id + ready packets (V_FFV1 from io/ffv1, or
+    V_UNCOMPRESSED planes).  Clusters hold `cluster_frames` SimpleBlocks
+    with honest keyframe flags; the Segment is written with the
+    unknown-size sentinel and patched to the real size on close when
+    the file is seekable (both forms are spec-legal and round-trip
+    through MKVReader)."""
+
+    TS_SCALE = 100000                   # 0.1 ms ticks (finer than the
+                                        # 1 ms default: CFR pts survive)
+
+    def __init__(self, fh, width: int, height: int, fps: float,
+                 codec_id: str = "V_FFV1", codec_private: bytes = b"",
+                 cluster_frames: int = 24):
+        self._fh = fh
+        self.fps = fps if fps > 0 else 24.0
+        self._cluster_frames = max(1, cluster_frames)
+        self._pending = []              # [(rel_ticks, keyframe, data)]
+        self._cluster_ts = None         # ticks of first frame in cluster
+        self._n = 0
+        fh.write(_w_elem(EBML_HEADER, _w_uint(0x4286, 1)
+                         + _w_elem(0x4282, b"matroska")))
+        fh.write(_w_vint_id(SEGMENT))
+        self._seg_size_off = fh.tell()
+        fh.write(b"\x01" + b"\xff" * 7)     # unknown size (patched)
+        self._seg_start = fh.tell()
+        info = _w_uint(0x2AD7B1, self.TS_SCALE)
+        fh.write(_w_elem(0x1549A966, info))
+        video = _w_elem(0xE0, _w_uint(0xB0, width) + _w_uint(0xBA, height))
+        track = _w_elem(0xAE, _w_uint(0xD7, 1) + _w_uint(0x83, 1)
+                        + _w_elem(0x86, codec_id.encode("ascii"))
+                        + (_w_elem(0x63A2, codec_private)
+                           if codec_private else b"")
+                        + _w_uint(0x23E383, int(round(1e9 / self.fps)))
+                        + video)
+        fh.write(_w_elem(0x1654AE6B, track))
+
+    def add(self, data: bytes, keyframe: bool = True,
+            pts: float = None):
+        ticks = int(round((pts if pts is not None
+                           else self._n / self.fps)
+                          * 1e9 / self.TS_SCALE))
+        if self._cluster_ts is None:
+            self._cluster_ts = ticks
+        self._pending.append((ticks - self._cluster_ts, keyframe, data))
+        self._n += 1
+        # relative block timestamps are int16 ticks: flush on range, too
+        if (len(self._pending) >= self._cluster_frames
+                or self._pending[-1][0] > 30000):
+            self._flush_cluster()
+
+    def _flush_cluster(self):
+        if not self._pending:
+            return
+        body = _w_uint(0xE7, self._cluster_ts)
+        for rel, key, data in self._pending:
+            hdr = (_w_vint_size(1) + int(rel).to_bytes(2, "big", signed=True)
+                   + (b"\x80" if key else b"\x00"))
+            body += _w_elem(0xA3, hdr + data)
+        self._fh.write(_w_elem(0x1F43B675, body))
+        self._pending = []
+        self._cluster_ts = None
+
+    def close(self):
+        self._flush_cluster()
+        if self._fh.seekable():
+            end = self._fh.tell()
+            self._fh.seek(self._seg_size_off)
+            self._fh.write(_w_vint_size(end - self._seg_start, width=8))
+            self._fh.seek(end)
+        self._fh.flush()

@@ -169,3 +169,60 @@ class PgmDumpSink:
 
     def close(self):
         pass
+
+
+class FFV1MKVSink:
+    """Encode output frames to FFV1 in Matroska (`-o out.mkv`): the
+    lossless archival encode path (vo_lavc/--o with -c:v ffv1 analog;
+    the reference feeds its encoder through video/out/vo_lavc.c).  NV12
+    frames encode as 8-bit 4:2:0 FFV1 v1, P010 as 10-bit (payload
+    down-aligned from the high bits).  Uses the native encoder
+    (native/ffv1.cpp) when built -- the Python oracle encoder is
+    test-vector speed only -- and writes honest per-block keyframe
+    flags (all frames are keyframes: every packet is independently
+    seekable, ffmpeg -g 1 style)."""
+
+    def __init__(self, path: str, width: int, height: int, fps: float,
+                 pixfmt: str = "nv12"):
+        from mpv_frame_interpolator_tpu.io.ffv1 import have_native
+        from mpv_frame_interpolator_tpu.io.mkv import MKVWriter
+        self._deep = pixfmt == "p010"
+        self._bits = 10 if self._deep else 8
+        self._w, self._h = width, height
+        self._fh = open(path, "wb")
+        self._writer = MKVWriter(self._fh, width, height, fps,
+                                 codec_id="V_FFV1")
+        self._native = None
+        if have_native():
+            from mpv_frame_interpolator_tpu.native import _native
+            self._native = _native.ffv1_enc_create(width, height,
+                                                   self._bits)
+        else:
+            from mpv_frame_interpolator_tpu.io import ffv1 as _ffv1
+            self._enc = _ffv1.FFV1Encoder(
+                width, height, _ffv1.FFV1Params(bits=self._bits))
+        self.count = 0
+
+    def write(self, frame: OutputFrame):
+        from mpv_frame_interpolator_tpu.frame import split_chroma
+        vf = frame.to_video_frame()
+        y, (u, v) = vf.y, split_chroma(vf.uv)
+        if self._deep:      # P010 payload rides the high bits
+            sh = 16 - self._bits
+            y = (y >> sh).astype(np.uint16)
+            u = (u >> sh).astype(np.uint16)
+            v = (v >> sh).astype(np.uint16)
+        if self._native is not None:
+            from mpv_frame_interpolator_tpu.native import _native
+            pkt = _native.ffv1_encode(
+                self._native, np.ascontiguousarray(y).tobytes(),
+                np.ascontiguousarray(u).tobytes(),
+                np.ascontiguousarray(v).tobytes(), True)
+        else:
+            pkt = self._enc.encode([y, u, v])
+        self._writer.add(pkt, keyframe=True, pts=vf.pts)
+        self.count += 1
+
+    def close(self):
+        self._writer.close()
+        self._fh.close()

@@ -315,10 +315,198 @@ static void decode_packet(FFV1State& s, const uint8_t* data, size_t len,
   }
 }
 
+// -- encoder (mirrors io/ffv1.py FFV1Encoder byte-for-byte) ----------------
+
+struct RangeEnc {
+  std::vector<uint8_t> out;
+  uint32_t low = 0, range = 0xFF00;
+  int outstanding_byte = -1;
+  size_t outstanding_count = 0;
+  const uint8_t* one = kDefaultTables.one;
+  const uint8_t* zero = kDefaultTables.zero;
+
+  void renorm() {
+    while (range < 0x100) {
+      if (outstanding_byte < 0) {
+        outstanding_byte = (low >> 8) & 0xFF;
+      } else if (low <= 0xFF00) {
+        out.push_back((uint8_t)outstanding_byte);
+        out.insert(out.end(), outstanding_count, 0xFF);
+        outstanding_count = 0;
+        outstanding_byte = (low >> 8) & 0xFF;
+      } else if (low >= 0x10000) {  // carry: propagate into the queue
+        out.push_back((uint8_t)(outstanding_byte + 1));
+        out.insert(out.end(), outstanding_count, 0x00);
+        outstanding_count = 0;
+        outstanding_byte = (low >> 8) & 0xFF;
+      } else {
+        outstanding_count++;
+      }
+      low = (low & 0xFF) << 8;
+      range <<= 8;
+    }
+  }
+  inline void put(uint8_t* state, int bit) {
+    uint32_t s = *state;
+    uint32_t r1 = (range * s) >> 8;
+    if (bit) {
+      low += range - r1;
+      range = r1;
+      *state = one[s];
+    } else {
+      range -= r1;
+      *state = zero[s];
+    }
+    renorm();
+  }
+  void finish() {
+    range = 0xFF;
+    low += 0xFF;
+    renorm();
+    range = 0xFF;
+    renorm();
+    if (outstanding_byte >= 0) {
+      out.push_back((uint8_t)outstanding_byte);
+      out.insert(out.end(), outstanding_count, 0xFF);
+    }
+  }
+};
+
+static void put_symbol(RangeEnc& c, uint8_t* st, int64_t v,
+                       bool is_signed) {
+  if (v == 0) {
+    c.put(st + 0, 1);
+    return;
+  }
+  uint64_t a = v < 0 ? (uint64_t)(-v) : (uint64_t)v;
+  int e = 63 - __builtin_clzll(a);
+  c.put(st + 0, 0);
+  for (int i = 0; i < e; i++) c.put(st + 1 + (i < 9 ? i : 9), 1);
+  c.put(st + 1 + (e < 9 ? e : 9), 0);
+  for (int i = e - 1; i >= 0; i--)
+    c.put(st + 22 + (i < 9 ? i : 9), (int)((a >> i) & 1));
+  if (is_signed) c.put(st + 11 + (e < 10 ? e : 10), v < 0 ? 1 : 0);
+}
+
+// io/ffv1.py default_quant_table(6): |d| thresholds 1,2,4,8,16
+static void default_quant6(int16_t qt[256]) {
+  std::memset(qt, 0, 256 * sizeof(int16_t));
+  for (int d = 1; d < 128; d++) {
+    int v = 0;
+    for (int b : {1, 2, 4, 8, 16})
+      if (d >= b) v++;
+    qt[d] = (int16_t)(v < 5 ? v : 5);
+  }
+  for (int d = 1; d < 128; d++) qt[256 - d] = (int16_t)-qt[d];
+  qt[128] = (int16_t)-qt[127];
+}
+
+static void write_quant_table(RangeEnc& c, const int16_t qt[256]) {
+  uint8_t st[kContextSize];
+  std::memset(st, 128, sizeof(st));
+  int last = 0;
+  for (int i = 1; i < 128; i++)
+    if (qt[i] != qt[i - 1]) {
+      put_symbol(c, st, i - last - 1, false);
+      last = i;
+    }
+  put_symbol(c, st, 128 - last - 1, false);
+}
+
+struct FFV1EncState {
+  int width = 0, height = 0, bits = 8;
+  int16_t quant[5][256];
+  int32_t scaled[5][256];
+  int context_count = 0;
+  std::vector<uint8_t> states[2];
+  bool primed = false;
+
+  void setup() {
+    int16_t q6[256], zero[256];
+    default_quant6(q6);
+    std::memset(zero, 0, sizeof(zero));
+    const int16_t* src[5] = {q6, q6, q6, zero, zero};
+    int64_t scale = 1;
+    for (int t = 0; t < 5; t++) {
+      std::memcpy(quant[t], src[t], sizeof(q6));
+      int mx = 0;
+      for (int j = 1; j < 128; j++)
+        if (src[t][j] > mx) mx = src[t][j];
+      for (int j = 0; j < 256; j++)
+        scaled[t][j] = (int32_t)(src[t][j] * scale);
+      scale *= 2 * mx + 1;
+    }
+    context_count = (int)((scale + 1) / 2);
+  }
+};
+
+static void write_params(RangeEnc& c, const FFV1EncState& s) {
+  uint8_t st[kContextSize];
+  std::memset(st, 128, sizeof(st));
+  put_symbol(c, st, 1, false);       // version
+  put_symbol(c, st, 1, false);       // coder_type: range, default table
+  put_symbol(c, st, 0, false);       // colorspace YCbCr
+  put_symbol(c, st, s.bits, false);
+  c.put(st, 1);                      // chroma_planes
+  put_symbol(c, st, 1, false);       // h_shift (4:2:0)
+  put_symbol(c, st, 1, false);       // v_shift
+  c.put(st, 0);                      // transparency
+  for (int t = 0; t < 5; t++) write_quant_table(c, s.quant[t]);
+}
+
+static void encode_plane(RangeEnc& c, uint8_t* ctx_states,
+                         const FFV1EncState& s, int w, int h,
+                         const uint8_t* src) {
+  std::vector<int32_t> buf(2 * (size_t)(w + 6), 0);
+  const int32_t mask = (int32_t)((1u << s.bits) - 1);
+  const int32_t half = 1 << (s.bits - 1);
+  const bool wide = s.bits > 8;
+  const int32_t* q0 = s.scaled[0];
+  const int32_t* q1 = s.scaled[1];
+  const int32_t* q2 = s.scaled[2];
+  int cur = 1;
+  for (int y = 0; y < h; y++) {
+    cur ^= 1;
+    int32_t* line = buf.data() + (size_t)cur * (w + 6) + 3;
+    int32_t* prev = buf.data() + (size_t)(cur ^ 1) * (w + 6) + 3;
+    line[-1] = prev[0];
+    prev[w] = prev[w - 1];
+    for (int x = 0; x < w; x++) {
+      int32_t L = line[x - 1], LT = prev[x - 1], T = prev[x],
+              RT = prev[x + 1];
+      int32_t ctx = q0[(L - LT) & 0xFF] + q1[(LT - T) & 0xFF] +
+                    q2[(T - RT) & 0xFF];
+      int sign = 1;
+      if (ctx < 0) {
+        ctx = -ctx;
+        sign = -1;
+      }
+      int32_t sample;
+      if (wide) {
+        size_t i = 2 * ((size_t)y * w + x);
+        sample = (int32_t)(src[i] | ((int32_t)src[i + 1] << 8)) & mask;
+      } else {
+        sample = src[(size_t)y * w + x];
+      }
+      int32_t grad = L + T - LT;
+      int32_t lo = L < T ? L : T, hi = L < T ? T : L;
+      int32_t pred = grad < lo ? lo : (grad > hi ? hi : grad);
+      int32_t diff = (((sample - pred) + half) & mask) - half;
+      put_symbol(c, ctx_states + (size_t)ctx * kContextSize,
+                 (int64_t)sign * diff, true);
+      line[x] = sample;
+    }
+  }
+}
+
 // -- Python boundary -------------------------------------------------------
 
 void ffv1_capsule_free(PyObject* cap) {
   delete (FFV1State*)PyCapsule_GetPointer(cap, "mfi.ffv1");
+}
+
+void ffv1_enc_capsule_free(PyObject* cap) {
+  delete (FFV1EncState*)PyCapsule_GetPointer(cap, "mfi.ffv1enc");
 }
 
 }  // namespace
@@ -345,6 +533,82 @@ extern "C" PyObject* mfi_ffv1_reset(PyObject*, PyObject* args) {
   s->states[0].clear();
   s->states[1].clear();
   Py_RETURN_NONE;
+}
+
+extern "C" PyObject* mfi_ffv1_enc_create(PyObject*, PyObject* args) {
+  int width, height, bits;
+  if (!PyArg_ParseTuple(args, "iii", &width, &height, &bits))
+    return nullptr;
+  if (width < 2 || height < 2 || width > 16384 || height > 16384 ||
+      width % 2 || height % 2 || bits < 8 || bits > 16) {
+    PyErr_SetString(PyExc_ValueError,
+                    "bad dimensions (even, >=2) or bits (8..16)");
+    return nullptr;
+  }
+  FFV1EncState* s = new FFV1EncState();
+  s->width = width;
+  s->height = height;
+  s->bits = bits;
+  s->setup();
+  return PyCapsule_New(s, "mfi.ffv1enc", ffv1_enc_capsule_free);
+}
+
+extern "C" PyObject* mfi_ffv1_encode(PyObject*, PyObject* args) {
+  PyObject* cap;
+  Py_buffer yb, ub, vb;
+  int keyframe;
+  if (!PyArg_ParseTuple(args, "Oy*y*y*p", &cap, &yb, &ub, &vb,
+                        &keyframe))
+    return nullptr;
+  FFV1EncState* s =
+      (FFV1EncState*)PyCapsule_GetPointer(cap, "mfi.ffv1enc");
+  std::string err;
+  RangeEnc c;
+  if (s) {
+    size_t item = s->bits > 8 ? 2 : 1;
+    size_t yn = (size_t)s->width * s->height * item;
+    size_t cn = (size_t)(s->width / 2) * (s->height / 2) * item;
+    if ((size_t)yb.len != yn || (size_t)ub.len != cn ||
+        (size_t)vb.len != cn) {
+      err = "plane buffer sizes do not match geometry/bits";
+    } else if (!keyframe && !s->primed) {
+      err = "first frame must be a keyframe";
+    } else {
+      Py_BEGIN_ALLOW_THREADS;
+      try {
+        uint8_t keystate[kContextSize];
+        std::memset(keystate, 128, sizeof(keystate));
+        c.put(keystate, keyframe ? 1 : 0);
+        if (keyframe) {
+          write_params(c, *s);
+          for (int i = 0; i < 2; i++)
+            s->states[i].assign(
+                (size_t)s->context_count * kContextSize, 128);
+          s->primed = true;
+        }
+        encode_plane(c, s->states[0].data(), *s, s->width, s->height,
+                     (const uint8_t*)yb.buf);
+        encode_plane(c, s->states[1].data(), *s, s->width / 2,
+                     s->height / 2, (const uint8_t*)ub.buf);
+        encode_plane(c, s->states[1].data(), *s, s->width / 2,
+                     s->height / 2, (const uint8_t*)vb.buf);
+        c.finish();
+      } catch (const std::bad_alloc&) {
+        err = "out of memory";
+      }
+      Py_END_ALLOW_THREADS;
+    }
+  }
+  PyBuffer_Release(&yb);
+  PyBuffer_Release(&ub);
+  PyBuffer_Release(&vb);
+  if (!s) return nullptr;
+  if (!err.empty()) {
+    PyErr_SetString(PyExc_ValueError, err.c_str());
+    return nullptr;
+  }
+  return PyBytes_FromStringAndSize((const char*)c.out.data(),
+                                   (Py_ssize_t)c.out.size());
 }
 
 extern "C" PyObject* mfi_ffv1_decode(PyObject*, PyObject* args) {

@@ -656,6 +656,8 @@ extern "C" PyObject* mfi_decode_utvideo(PyObject*, PyObject*);  // native/utvide
 extern "C" PyObject* mfi_ffv1_create(PyObject*, PyObject*);  // native/ffv1.cpp
 extern "C" PyObject* mfi_ffv1_reset(PyObject*, PyObject*);
 extern "C" PyObject* mfi_ffv1_decode(PyObject*, PyObject*);
+extern "C" PyObject* mfi_ffv1_enc_create(PyObject*, PyObject*);
+extern "C" PyObject* mfi_ffv1_encode(PyObject*, PyObject*);
 
 static PyMethodDef module_methods[] = {
     {"interleave_chroma", py_interleave, METH_VARARGS,
@@ -671,7 +673,11 @@ static PyMethodDef module_methods[] = {
     {"ffv1_reset", mfi_ffv1_reset, METH_VARARGS,
      "ffv1_reset(capsule): drop chained context state (after a seek)"},
     {"ffv1_decode", mfi_ffv1_decode, METH_VARARGS,
-     "ffv1_decode(capsule, data) -> ((plane_bytes, w, h), ...)"},
+     "ffv1_decode(capsule, data) -> (bits, ((plane_bytes, w, h), ...))"},
+    {"ffv1_enc_create", mfi_ffv1_enc_create, METH_VARARGS,
+     "ffv1_enc_create(w, h, bits) -> stateful FFV1 encoder capsule"},
+    {"ffv1_encode", mfi_ffv1_encode, METH_VARARGS,
+     "ffv1_encode(capsule, y, u, v, keyframe) -> packet bytes"},
     {nullptr, nullptr, 0, nullptr},
 };
 

@@ -586,3 +586,86 @@ class TestContainers:
         rc = main([str(src), "--untimed", "--model", "repeat",
                    "-o", str(out)])
         assert rc == 0 and out.stat().st_size > 0
+
+
+class TestEncodeSink:
+    """FFV1-in-MKV encode path: MKVWriter + FFV1MKVSink + CLI -o .mkv."""
+
+    def test_mkv_writer_roundtrip(self, tmp_path):
+        from mpv_frame_interpolator_tpu.io.mkv import MKVReader, MKVWriter
+        frames, pkts = _vector_packets()
+        p = tmp_path / "w.mkv"
+        with open(p, "wb") as fh:
+            w = MKVWriter(fh, 48, 32, 24.0, cluster_frames=2)
+            for i, pkt in enumerate(pkts):
+                w.add(pkt, keyframe=True, pts=i / 24.0)
+            w.close()
+        rd = MKVReader(str(p))
+        assert (rd.width, rd.height) == (48, 32)
+        assert abs(rd.fps - 24.0) < 1e-6
+        got = list(rd)
+        assert len(got) == 4
+        for f, (y, u, v) in zip(got, frames):
+            assert np.array_equal(f.y, y)
+        assert abs(got[3].pts - 3 / 24.0) < 2e-3   # ms-grid timestamps
+
+    def test_native_encoder_matches_python_bytes(self):
+        if not ffv1.have_native():
+            pytest.skip("native extension not built")
+        from mpv_frame_interpolator_tpu.native import _native
+        w, h = 48, 32
+        frames = [_planes(w, h, seed=s) for s in range(3)]
+        enc = ffv1.FFV1Encoder(w, h)
+        cap = _native.ffv1_enc_create(w, h, 8)
+        for i, (y, u, v) in enumerate(frames):
+            py = enc.encode([y, u, v], keyframe=i != 1)
+            nat = _native.ffv1_encode(cap, y.tobytes(), u.tobytes(),
+                                      v.tobytes(), i != 1)
+            assert py == nat       # byte-identical incl. inter frames
+
+    def test_cli_lossless_transcode_loop(self, tmp_path):
+        """y4m -> FFV1 MKV -> y4m must be bit-exact (lossless loop)."""
+        from mpv_frame_interpolator_tpu.cli import main
+        from mpv_frame_interpolator_tpu.io.y4m import Y4MReader
+        from tests.test_playlist import write_y4m
+        src = tmp_path / "in.y4m"
+        write_y4m(src, n=5, w=48, h=32)
+        mkv = tmp_path / "arch.mkv"
+        rc = main([str(src), "--untimed", "--model", "repeat",
+                   "--display-fps", "24", "-o", str(mkv)])
+        assert rc == 0
+        back = tmp_path / "back.y4m"
+        rc = main([str(mkv), "--untimed", "--model", "repeat",
+                   "--display-fps", "24", "-o", str(back)])
+        assert rc == 0
+        a = list(Y4MReader(open(src, "rb")))
+        b = list(Y4MReader(open(back, "rb")))
+        assert len(a) == len(b) == 5
+        for fa, fb in zip(a, b):
+            assert np.array_equal(fa.y, fb.y)
+            assert np.array_equal(fa.uv, fb.uv)
+
+    def test_p010_sink_writes_10bit(self, tmp_path):
+        from mpv_frame_interpolator_tpu.frame import (FrameFormat, P010,
+                                                      VideoFrame)
+        from mpv_frame_interpolator_tpu.io.mkv import MKVReader
+        from mpv_frame_interpolator_tpu.io.sinks import FFV1MKVSink
+        from mpv_frame_interpolator_tpu.pipeline.engine import OutputFrame
+        w, h = 32, 16
+        rng = np.random.default_rng(6)
+        fmt = FrameFormat(w, h, P010)
+        sink = FFV1MKVSink(str(tmp_path / "deep.mkv"), w, h, 24.0,
+                           pixfmt=P010)
+        ys = []
+        for i in range(3):
+            y = (rng.integers(0, 1024, (h, w), dtype=np.uint16) << 6)
+            uv = (rng.integers(0, 1024, (h // 2, w), dtype=np.uint16) << 6)
+            ys.append(y)
+            sink.write(OutputFrame(i / 24.0, fmt, y, uv, host=True))
+        sink.close()
+        rd = MKVReader(str(tmp_path / "deep.mkv"))
+        assert rd.fmt.pixfmt == P010
+        got = list(rd)
+        assert len(got) == 3
+        assert got[2].y.dtype == np.uint16
+        assert np.array_equal(got[2].y, ys[2])   # lossless at 10 bits
